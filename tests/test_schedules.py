@@ -1,0 +1,119 @@
+"""Golden tests for diffusion schedule math against independent numpy
+computations (closed forms from the DDPM/DDIM papers)."""
+
+import numpy as np
+import pytest
+
+from pdae_tpu.diffusion import make_betas, make_ddim_schedule, make_schedule, respace
+
+
+def test_linear_betas_endpoints():
+    b = make_betas("linear", 1000)
+    assert b.shape == (1000,)
+    assert np.isclose(b[0], 1e-4)
+    assert np.isclose(b[-1], 0.02)
+    assert np.all(np.diff(b) > 0)
+
+
+def test_cosine_betas_bounded():
+    b = make_betas("cosine", 1000)
+    assert np.all(b > 0) and np.all(b <= 0.999)
+    # closed form check of the first beta: 1 - abar(1/T)/abar(0)
+    import math
+    f = lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+    assert np.isclose(b[0], 1 - f(1 / 1000) / f(0))
+
+
+def test_schedule_identities():
+    s = make_schedule("linear", 1000)
+    betas = np.asarray(s.betas, np.float64)
+    alphas = 1 - betas
+    abar = np.cumprod(alphas)
+    np.testing.assert_allclose(np.asarray(s.alphas_cumprod), abar, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.sqrt_alphas_cumprod) ** 2, abar, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s.sqrt_one_minus_alphas_cumprod) ** 2, 1 - abar, rtol=1e-4)
+    # sqrt_recip identities
+    np.testing.assert_allclose(
+        np.asarray(s.sqrt_recip_alphas_cumprod), np.sqrt(1 / abar), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s.sqrt_recip_alphas_cumprod_m1), np.sqrt(1 / abar - 1), rtol=1e-4)
+    # posterior variance: beta_t * (1 - abar_{t-1}) / (1 - abar_t)
+    abar_prev = np.append(1.0, abar[:-1])
+    np.testing.assert_allclose(
+        np.asarray(s.posterior_variance),
+        betas * (1 - abar_prev) / (1 - abar), rtol=1e-5)
+    # log variance clipped at t=0 equals value at t=1
+    plv = np.asarray(s.posterior_log_variance_clipped)
+    assert plv[0] == plv[1]
+    # posterior mean coefs sum behavior: q_posterior_mean(x,x,t) == x requires
+    # coef_x0 + coef_xt == 1 only at... (not an identity); instead check DDPM
+    # closed form directly
+    np.testing.assert_allclose(
+        np.asarray(s.x_0_posterior_mean_x_0_coef),
+        betas * np.sqrt(abar_prev) / (1 - abar), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s.x_0_posterior_mean_x_t_coef),
+        (1 - abar_prev) * np.sqrt(alphas) / (1 - abar), rtol=1e-5)
+    # shift coefficient (PDAE eq.): -sqrt(a_t)(1-abar_{t-1})/sqrt(1-abar_t)
+    np.testing.assert_allclose(
+        np.asarray(s.shift_coef),
+        -np.sqrt(alphas) * (1 - abar_prev) / np.sqrt(1 - abar), rtol=1e-5)
+    # loss weight SNR^0.1/(1+SNR)
+    snr = abar / (1 - abar)
+    np.testing.assert_allclose(
+        np.asarray(s.weight), snr ** 0.1 / (1 + snr), rtol=1e-4)
+
+
+def test_noise_posterior_mean_coefs():
+    s = make_schedule("linear", 100)
+    betas = np.asarray(s.betas, np.float64)
+    alphas = 1 - betas
+    abar = np.cumprod(alphas)
+    np.testing.assert_allclose(
+        np.asarray(s.noise_posterior_mean_x_t_coef), np.sqrt(1 / alphas), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s.noise_posterior_mean_noise_coef),
+        betas / (np.sqrt(alphas) * np.sqrt(1 - abar)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("T,n", [(1000, 100), (1000, 1000), (1000, 10), (100, 7)])
+def test_respace_structure(T, n):
+    s = make_schedule("linear", T)
+    abar = np.asarray(s.alphas_cumprod, np.float64)
+    new_betas, tmap = respace(abar, f"ddim{n}")
+    # linspace with n+1 points over [0, T-1], possibly deduped
+    expect_map = sorted(set(int(x) for x in np.linspace(0, T - 1, n + 1)))
+    assert list(tmap) == expect_map
+    assert new_betas.shape[0] == len(expect_map)
+    # consecutive-abar-ratio identity: cumprod(1-new_betas) == abar[tmap]
+    np.testing.assert_allclose(
+        np.cumprod(1 - new_betas), abar[tmap], rtol=1e-5)
+    # first and last original steps always included
+    assert tmap[0] == 0 and tmap[-1] == T - 1
+
+
+def test_ddim_schedule_tables():
+    s = make_schedule("linear", 1000)
+    dds = make_ddim_schedule(s.alphas_cumprod, "ddim100")
+    n = dds.num_steps
+    assert n == 100
+    abar_sub = np.asarray(s.alphas_cumprod, np.float64)[np.asarray(dds.timestep_map)]
+    np.testing.assert_allclose(
+        np.asarray(dds.sqrt_recip_alphas_cumprod) ** 2, 1 / abar_sub, rtol=1e-4)
+    # prev shifts by one position; first entry is the 1.0 sentinel
+    np.testing.assert_allclose(
+        np.asarray(dds.alphas_cumprod_prev)[1:], abar_sub[:-1], rtol=1e-5)
+    assert np.asarray(dds.alphas_cumprod_prev)[0] == 1.0
+    # next shifts the other way; last entry is the 0.0 sentinel
+    np.testing.assert_allclose(
+        np.asarray(dds.alphas_cumprod_next)[:-1], abar_sub[1:], rtol=1e-5)
+    assert np.asarray(dds.alphas_cumprod_next)[-1] == 0.0
+
+
+def test_latent_constant_schedule():
+    s = make_schedule("constant_0.008", 1000)
+    np.testing.assert_allclose(np.asarray(s.betas), 0.008, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s.alphas_cumprod), np.cumprod(np.full(1000, 1 - 0.008)),
+        rtol=1e-4)
