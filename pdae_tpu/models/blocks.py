@@ -1,0 +1,278 @@
+"""NN building blocks for the diffusion UNets, flax/NHWC/TPU-native.
+
+Functional equivalents of the reference blocks
+(``/root/reference/model/module.py``): GroupNorm(32) normalization, sinusoidal
+timestep embedding, ResBlock with AdaGN ``GN(h)*(1+scale)+shift``
+(module.py:287-295), ResBlockShift with the double AdaGN
+``(1+z_scale)*(GN(h)*(1+s)+b)+z_shift`` (module.py:377-381), spatial
+self-attention with both head-split orders (module.py:431-488), and
+nearest-neighbour up/down sampling.
+
+TPU-first choices: NHWC layout (XLA:TPU's native conv layout), fp32 params
+with configurable bf16 compute via the ``dtype`` attribute, softmax in fp32,
+explicit (1,1) conv padding so geometry matches the torch reference for
+checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# GroupNorm(32) with torch eps for numeric parity (module.py:56-63).
+def group_norm(dtype=jnp.float32, name=None):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [cos | sin] layout (module.py:66-84)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+def conv3x3(features, stride=1, dtype=jnp.float32, name=None,
+            kernel_init=None):
+    kw = {}
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   padding=((1, 1), (1, 1)), dtype=dtype, name=name, **kw)
+
+
+def conv1x1(features, dtype=jnp.float32, name=None, kernel_init=None):
+    kw = {}
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    return nn.Conv(features, (1, 1), dtype=dtype, name=name, **kw)
+
+
+zeros_init = nn.initializers.zeros
+
+
+class TimeEmbedMLP(nn.Module):
+    """Two-layer SiLU MLP on the sinusoidal embedding (unet.py:50-55)."""
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.out_dim, dtype=self.dtype, name="dense_0")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.out_dim, dtype=self.dtype, name="dense_1")(emb)
+        return emb
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x spatial upsample, NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample with optional 3x3 conv (module.py:143-172)."""
+    channels: int
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest_2x(x)
+        if self.use_conv:
+            x = conv3x3(self.out_channels or self.channels,
+                        dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """2x downsample via stride-2 conv or avg-pool (module.py:175-202)."""
+    channels: int
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return conv3x3(self.out_channels or self.channels, stride=2,
+                           dtype=self.dtype, name="op")(x)
+        assert (self.out_channels or self.channels) == self.channels
+        return avg_pool_2x(x)
+
+
+class ResBlock(nn.Module):
+    """Residual block with AdaGN time conditioning (module.py:205-297).
+
+    out = skip(x) + zero_conv(drop(silu(GN(h)*(1+scale)+shift)))
+    where (scale, shift) come from the time embedding.
+    """
+    channels: int
+    emb_channels: int
+    dropout: float
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        out_ch = self.out_channels or self.channels
+
+        h = group_norm(self.dtype, name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = upsample_nearest_2x(h)
+            x = upsample_nearest_2x(x)
+        elif self.down:
+            h = avg_pool_2x(h)
+            x = avg_pool_2x(x)
+        h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(2 * out_ch, dtype=self.dtype,
+                           name="emb_dense")(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+
+        h = group_norm(self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(out_ch, dtype=self.dtype, name="out_conv",
+                    kernel_init=zeros_init)(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = conv3x3(out_ch, dtype=self.dtype, name="skip_conv")(x)
+        else:
+            skip = conv1x1(out_ch, dtype=self.dtype, name="skip_conv")(x)
+        return skip + h
+
+
+class ResBlockShift(nn.Module):
+    """PDAE conditioning block: double AdaGN (module.py:299-384).
+
+    h = (1 + z_scale) * (GN(h)*(1+scale)+shift) + z_shift
+    with (scale, shift) from the time embedding and (z_scale, z_shift)
+    from the latent embedding.
+    """
+    channels: int
+    emb_channels: int
+    dropout: float
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, emb_z, deterministic: bool = True):
+        out_ch = self.out_channels or self.channels
+
+        h = group_norm(self.dtype, name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = upsample_nearest_2x(h)
+            x = upsample_nearest_2x(x)
+        elif self.down:
+            h = avg_pool_2x(h)
+            x = avg_pool_2x(x)
+        h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(2 * out_ch, dtype=self.dtype,
+                           name="emb_dense")(nn.silu(emb))[:, None, None, :]
+        emb_z_out = nn.Dense(2 * out_ch, dtype=self.dtype,
+                             name="emb_z_dense")(nn.silu(emb_z))[:, None, None, :]
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        z_scale, z_shift = jnp.split(emb_z_out, 2, axis=-1)
+
+        h = group_norm(self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
+        h = (1.0 + z_scale) * h + z_shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(out_ch, dtype=self.dtype, name="out_conv",
+                    kernel_init=zeros_init)(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = conv3x3(out_ch, dtype=self.dtype, name="skip_conv")(x)
+        else:
+            skip = conv1x1(out_ch, dtype=self.dtype, name="skip_conv")(x)
+        return skip + h
+
+
+def qkv_attention(qkv: jnp.ndarray, num_heads: int,
+                  new_order: bool) -> jnp.ndarray:
+    """Multi-head self-attention over flattened spatial tokens.
+
+    ``qkv``: [B, T, 3C].  The two layouts mirror the reference's
+    QKVAttentionLegacy (heads-major, module.py:431-457) and QKVAttention
+    (qkv-major, module.py:460-488); both use scale 1/sqrt(sqrt(ch)) applied
+    to q AND k, and fp32 softmax.
+    """
+    b, t, w = qkv.shape
+    assert w % (3 * num_heads) == 0, (w, num_heads)
+    ch = w // (3 * num_heads)
+    if new_order:
+        qkv = qkv.reshape(b, t, 3, num_heads, ch)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:
+        qkv = qkv.reshape(b, t, num_heads, 3, ch)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bshc->bthc", weights, v)
+    return out.reshape(b, t, num_heads * ch)
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention block (module.py:387-428).
+
+    GN -> Dense(3C) qkv -> MHA -> zero-init Dense proj -> residual.
+    ``head_channel == -1`` selects ``num_heads`` heads, otherwise
+    ``channels // head_channel`` heads.
+    """
+    channels: int
+    num_heads: int = 1
+    head_channel: int = -1
+    use_new_attention_order: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.head_channel == -1:
+            heads = self.num_heads
+        else:
+            assert self.channels % self.head_channel == 0
+            heads = self.channels // self.head_channel
+
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(
+            group_norm(self.dtype, name="norm")(tokens))
+        a = qkv_attention(qkv, heads, self.use_new_attention_order)
+        a = nn.Dense(c, dtype=self.dtype, name="proj_out",
+                     kernel_init=zeros_init)(a)
+        return (tokens + a).reshape(b, h, w, c)

@@ -1,0 +1,96 @@
+"""Multi-host process utilities.
+
+Replaces the reference's torchrun/NCCL process-group bootstrap and
+object-gather helpers (``/root/reference/utils/utils.py:18-27``,
+``trainer/base_trainer.py:143-159``) with jax.distributed + per-process
+dataset slicing.  Collectives on arrays ride ICI via GSPMD; host-object
+gathers use ``multihost_utils.process_allgather``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX if requested via args or env.
+
+    Single-process (one host, N chips) needs no initialization -- GSPMD
+    covers all local devices.  Multi-host runs set JAX_COORDINATOR_ADDRESS
+    etc. (or pass args); this is the analogue of torchrun's rendezvous.
+    """
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]))
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def dispatch_num_samples_for_process(total_num: int,
+                                     rank: Optional[int] = None,
+                                     world: Optional[int] = None) -> int:
+    """How many samples this process generates out of ``total_num``.
+
+    Same contract as the reference (trainer/base_trainer.py:143-153):
+    floor-divide, remainder spread over the first ranks.
+    """
+    rank = jax.process_index() if rank is None else rank
+    world = jax.process_count() if world is None else world
+    base = total_num // world
+    return base + (1 if rank < total_num % world else 0)
+
+
+def process_shard_indices(n: int, rank: Optional[int] = None,
+                          world: Optional[int] = None,
+                          pad_to_even: bool = True) -> np.ndarray:
+    """Per-process dataset index slice (DistributedSampler equivalent,
+    trainer/base_trainer.py:73-79).  With ``pad_to_even`` the shard is
+    padded by wrapping so every process sees the same count."""
+    rank = jax.process_index() if rank is None else rank
+    world = jax.process_count() if world is None else world
+    idx = np.arange(n)
+    if pad_to_even and n % world != 0:
+        pad = world - (n % world)
+        idx = np.concatenate([idx, idx[:pad]])
+    return idx[rank::world]
+
+
+def gather_objects(local_list):
+    """All-gather a list of host objects across processes
+    (reference ``all_gather_object``, base_trainer.py:156-159)."""
+    if jax.process_count() == 1:
+        return list(local_list)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(local_list)
+    out = []
+    for part in gathered:
+        out.extend(part)
+    return out
+
+
+def sync_global_devices(name: str = "barrier") -> None:
+    """Cross-process barrier (reference ``dist.barrier()``)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)

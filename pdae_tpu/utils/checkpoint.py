@@ -1,0 +1,87 @@
+"""Single-file msgpack checkpoints with the reference's logical keys.
+
+The reference saves one ``torch.save`` dict per trainer from rank 0
+(``/root/reference/trainer/train_regular_diffusion.py:180-201``) with keys
+like ``step / denoise_fn / ema_denoise_fn / optimizer``; downstream stages
+compose by loading sibling keys (``ema_encoder``/``ema_decoder``, see
+train_latent_diffusion.py:42-56).  We keep those logical keys verbatim so
+the 4-stage composition graph survives, stored as msgpack'd nested numpy
+dicts (flax.serialization) written atomically.
+
+Cadence helpers mirror ``latest.pt`` every N steps + immutable
+``save-{N}k.pt`` snapshots (train_regular_diffusion.py:136-139).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
+    """Atomically write a dict of pytrees (values may be scalars/arrays)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = serialization.msgpack_serialize(_to_numpy_tree(state))
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Restore the raw nested dict (numpy leaves)."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_into(template, raw):
+    """Shape a raw restored dict onto a template pytree (e.g. params from
+    ``model.init``), validating leaf shapes."""
+    flat_t, treedef = jax.tree_util.tree_flatten(template)
+    shaped = serialization.from_state_dict(template, raw)
+    flat_s, _ = jax.tree_util.tree_flatten(shaped)
+    for a, b in zip(flat_t, flat_s):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"checkpoint leaf shape mismatch: {np.shape(b)} vs template "
+                f"{np.shape(a)}")
+    return shaped
+
+
+def merge_partial(template_params, partial_params):
+    """strict=False-style partial restore: overwrite the subtrees of
+    ``template_params`` present in ``partial_params``, keep the rest
+    (reference ``load_state_dict(..., strict=False)``,
+    train_representation_learning.py:241-244)."""
+    if not isinstance(partial_params, dict):
+        return partial_params
+    out = dict(template_params)
+    for k, v in partial_params.items():
+        if k in out and isinstance(out[k], dict):
+            out[k] = merge_partial(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def checkpoint_paths(run_path: str):
+    ckpt_dir = os.path.join(run_path, "checkpoints")
+    return ckpt_dir, os.path.join(ckpt_dir, "latest.ckpt")
+
+
+def snapshot_path(run_path: str, step: int) -> str:
+    return os.path.join(run_path, "checkpoints", f"save-{step // 1000}k.ckpt")

@@ -1,10 +1,17 @@
 """Test environment: force an 8-device CPU platform so data-parallel mesh
-code paths are exercised without TPU hardware."""
+code paths are exercised without TPU hardware.
+
+NOTE: in this image the axon/TPU PJRT plugin ignores the JAX_PLATFORMS env
+var, so we must use the config API before any backend is initialized."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

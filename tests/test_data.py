@@ -1,0 +1,158 @@
+"""Tests for the LMDB store, datasets, and the input pipeline."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from pdae_tpu.data import (CELEBA64, CELEBAHQ, MNIST, SYNTHETIC, Loader,
+                           Reader, build_dataset, write_lmdb)
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_lmdb_roundtrip_small(tmp_path):
+    items = {f"key-{i:04d}".encode(): f"value-{i}".encode() * (i + 1)
+             for i in range(50)}
+    path = str(tmp_path / "db")
+    write_lmdb(path, items)
+    r = Reader(path)
+    assert len(r) == 50
+    for k, v in items.items():
+        assert r.get(k) == v, k
+    assert r.get(b"missing") is None
+    got = dict(r.items())
+    assert got == items
+
+
+def test_lmdb_multilevel_and_overflow(tmp_path):
+    # enough entries to force branch pages, plus big values -> overflow pages
+    items = {f"{i:06d}".encode(): bytes([i % 256]) * (10000 if i % 7 == 0 else 40)
+             for i in range(2000)}
+    path = str(tmp_path / "big")
+    write_lmdb(path, items)
+    r = Reader(path)
+    assert len(r) == 2000
+    for i in (0, 7, 123, 1999, 1024):
+        k = f"{i:06d}".encode()
+        assert r.get(k) == items[k], i
+    # ordered iteration
+    keys = [k for k, _ in r.items()]
+    assert keys == sorted(items.keys())
+
+
+def test_celeba64_dataset(tmp_path):
+    # build a tiny fake celeba64 lmdb: 178x218 images, keys None-%07d
+    rs = np.random.RandomState(0)
+    items = {}
+    for i in range(4):
+        img = rs.randint(0, 255, (218, 178, 3), np.uint8)
+        items[f"None-{i:07d}".encode()] = _png_bytes(img)
+    path = str(tmp_path / "celeba")
+    write_lmdb(path, items)
+
+    ds = CELEBA64({"data_path": path, "image_size": 64, "image_channel": 3,
+                   "split": "train", "augmentation": False})
+    assert len(ds) == 162770  # reference split size contract
+    out = ds[0]
+    assert out["x_0"].shape == (64, 64, 3)
+    assert out["gt"].dtype == np.uint8
+    assert out["x_0"].min() >= -1.0 and out["x_0"].max() <= 1.0
+    # gt is the uint8 rendering of x_0
+    np.testing.assert_allclose(
+        out["gt"].astype(np.float32) / 127.5 - 1.0, out["x_0"], atol=1 / 127.5)
+
+    batch = CELEBA64.collate_fn([ds[0], ds[1]])
+    assert batch["x_0"].shape == (2, 64, 64, 3)
+    assert batch["gts"].shape == (2, 64, 64, 3)
+
+
+def test_celebahq_annotations(tmp_path):
+    rs = np.random.RandomState(1)
+    items = {f"256-{i:05d}".encode(): _png_bytes(
+        rs.randint(0, 255, (256, 256, 3), np.uint8)) for i in range(3)}
+    path = str(tmp_path / "hq")
+    write_lmdb(path, items)
+    # annotation file: count, header, rows of name + 40 attrs
+    attrs = " ".join(CELEBAHQ.ID_TO_LABEL)
+    rows = ["3", attrs]
+    for i in range(3):
+        vals = " ".join("1" if (i + j) % 2 == 0 else "-1" for j in range(40))
+        rows.append(f"{i}.jpg {vals}")
+    with open(os.path.join(path, "CelebAMask-HQ-attribute-anno.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    ds = CELEBAHQ({"data_path": path, "image_size": 128, "image_channel": 3,
+                   "augmentation": False})
+    out = ds[1]
+    assert out["x_0"].shape == (128, 128, 3)
+    assert out["label"].shape == (40,)
+    assert out["label"][0] == -1 and out["label"][1] == 1
+    assert CELEBAHQ.LABEL_TO_ID["Smiling"] == 31
+    batch = CELEBAHQ.collate_fn([ds[0], ds[1]])
+    assert batch["label"].shape == (2, 40)
+
+
+def test_synthetic_and_loader_sharding():
+    ds = SYNTHETIC({"image_size": 32, "image_channel": 3, "length": 64})
+    # two "processes" see disjoint shards that cover the dataset
+    l0 = Loader(ds, batch_size=8, shuffle=True, seed=7, process_index=0,
+                process_count=2, num_workers=2)
+    l1 = Loader(ds, batch_size=8, shuffle=True, seed=7, process_index=1,
+                process_count=2, num_workers=2)
+    b0 = [b["idx"] for b in l0.epoch(0)]
+    b1 = [b["idx"] for b in l1.epoch(0)]
+    seen0 = np.concatenate(b0)
+    seen1 = np.concatenate(b1)
+    assert len(seen0) == len(seen1) == 32
+    assert set(seen0) | set(seen1) == set(range(64))
+    assert set(seen0).isdisjoint(set(seen1))
+    # different epochs shuffle differently, same epoch reproducible
+    again = np.concatenate([b["idx"] for b in l0.epoch(0)])
+    np.testing.assert_array_equal(seen0, again)
+    e1 = np.concatenate([b["idx"] for b in l0.epoch(1)])
+    assert not np.array_equal(seen0, e1)
+
+
+def test_loader_infinite_and_batch_shapes():
+    ds = SYNTHETIC({"image_size": 16, "image_channel": 1, "length": 20})
+    loader = Loader(ds, batch_size=4, shuffle=False, process_index=0,
+                    process_count=1, num_workers=1)
+    it = loader.infinite()
+    batches = [next(it) for _ in range(7)]  # crosses an epoch boundary
+    for b in batches:
+        assert b["x_0"].shape == (4, 16, 16, 1)
+        assert b["gts"].dtype == np.uint8
+
+
+def test_mnist_idx_loading(tmp_path):
+    import struct
+    # craft tiny idx files
+    imgs = np.random.RandomState(0).randint(0, 255, (10, 28, 28), np.uint8)
+    labels = (np.arange(10) % 10).astype(np.uint8)
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, 10, 28, 28))
+        f.write(imgs.tobytes())
+    with open(tmp_path / "train-labels-idx1-ubyte", "wb") as f:
+        f.write(struct.pack(">II", 2049, 10))
+        f.write(labels.tobytes())
+    ds = MNIST({"data_path": str(tmp_path), "image_size": 32, "train": True})
+    assert len(ds) == 10
+    out = ds[3]
+    assert out["x_0"].shape == (32, 32, 1)
+    assert out["label"] == 3
+    batch = MNIST.collate_fn([ds[0], ds[1]])
+    assert batch["condition_onehot"].shape == (2, 10)
+    assert batch["condition_onehot"][1, 1] == 1.0
+
+
+def test_build_dataset_registry():
+    ds = build_dataset({"name": "SYNTHETIC", "image_size": 16,
+                        "image_channel": 3, "length": 8})
+    assert isinstance(ds, SYNTHETIC)
