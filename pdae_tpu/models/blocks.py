@@ -24,8 +24,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # GroupNorm(32) with torch eps for numeric parity (module.py:56-63).
-def group_norm(dtype=jnp.float32, name=None):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
+# For real configs channels are multiples of 32; smaller channel counts
+# (tiny test models) fall back to the largest divisor <= 32.
+def group_norm(channels: int, dtype=jnp.float32, name=None):
+    groups = min(32, channels)
+    while channels % groups != 0:
+        groups -= 1
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype,
+                        name=name)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -138,7 +144,7 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
 
-        h = group_norm(self.dtype, name="in_norm")(x)
+        h = group_norm(self.channels, self.dtype, name="in_norm")(x)
         h = nn.silu(h)
         if self.up:
             h = upsample_nearest_2x(h)
@@ -153,7 +159,7 @@ class ResBlock(nn.Module):
         emb_out = emb_out[:, None, None, :]
         scale, shift = jnp.split(emb_out, 2, axis=-1)
 
-        h = group_norm(self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
+        h = group_norm(out_ch, self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, dtype=self.dtype, name="out_conv",
@@ -188,7 +194,7 @@ class ResBlockShift(nn.Module):
     def __call__(self, x, emb, emb_z, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
 
-        h = group_norm(self.dtype, name="in_norm")(x)
+        h = group_norm(self.channels, self.dtype, name="in_norm")(x)
         h = nn.silu(h)
         if self.up:
             h = upsample_nearest_2x(h)
@@ -205,7 +211,7 @@ class ResBlockShift(nn.Module):
         scale, shift = jnp.split(emb_out, 2, axis=-1)
         z_scale, z_shift = jnp.split(emb_z_out, 2, axis=-1)
 
-        h = group_norm(self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
+        h = group_norm(out_ch, self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
         h = (1.0 + z_scale) * h + z_shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -271,7 +277,7 @@ class AttentionBlock(nn.Module):
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(
-            group_norm(self.dtype, name="norm")(tokens))
+            group_norm(c, self.dtype, name="norm")(tokens))
         a = qkv_attention(qkv, heads, self.use_new_attention_order)
         a = nn.Dense(c, dtype=self.dtype, name="proj_out",
                      kernel_init=zeros_init)(a)

@@ -34,7 +34,7 @@ class SemanticEncoder(nn.Module):
         h = x.astype(self.dtype)
         for i, ch in enumerate(self.channels):
             if i > 0:
-                h = group_norm(self.dtype, name=f"norm_{i}")(h)
+                h = group_norm(self.channels[i - 1], self.dtype, name=f"norm_{i}")(h)
                 h = nn.silu(h)
             h = conv3x3(ch, stride=2, dtype=self.dtype, name=f"conv_{i}")(h)
             if (i + 1) == self.attn_after_stage:
@@ -42,7 +42,7 @@ class SemanticEncoder(nn.Module):
                                    head_channel=-1,
                                    use_new_attention_order=False,
                                    dtype=self.dtype, name=f"attn_{i}")(h)
-        h = group_norm(self.dtype, name="final_norm")(h)
+        h = group_norm(self.channels[-1], self.dtype, name="final_norm")(h)
         h = nn.silu(h)
         h = h.reshape(h.shape[0], -1)
         z = nn.Dense(self.latent_dim, dtype=self.dtype, name="final_dense")(h)

@@ -67,10 +67,10 @@ class ShiftUNet(nn.Module):
 
         output_channel = (self.input_channel * 2 if self.learn_sigma
                           else self.input_channel)
-        self.out_norm = group_norm(self.dtype)
+        self.out_norm = group_norm(final_ch, self.dtype)
         self.out_conv = conv3x3(output_channel, dtype=self.dtype,
                                 kernel_init=zeros_init)
-        self.shift_out_norm = group_norm(self.dtype)
+        self.shift_out_norm = group_norm(final_ch, self.dtype)
         self.shift_out_conv = conv3x3(self.input_channel, dtype=self.dtype,
                                       kernel_init=zeros_init)
 

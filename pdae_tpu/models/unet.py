@@ -140,7 +140,7 @@ class UNet(nn.Module):
             self.dropout, self.input_channel, self.dtype)
         output_channel = (self.input_channel * 2 if self.learn_sigma
                           else self.input_channel)
-        self.out_norm = group_norm(self.dtype)
+        self.out_norm = group_norm(final_ch, self.dtype)
         self.out_conv = conv3x3(output_channel, dtype=self.dtype,
                                 kernel_init=zeros_init)
 

@@ -1,0 +1,222 @@
+"""Base trainer: run-dir layout, config snapshot, data plumbing, logging,
+checkpoint cadence, and the step-driver loop.
+
+Equivalent of ``/root/reference/trainer/base_trainer.py`` redesigned for a
+single-controller JAX world: no process groups or barriers -- one python
+process per host drives all local chips through GSPMD; the train step is a
+single jitted program (model fwd+bwd+adam+EMA); the host loop only moves
+data and handles IO.
+
+Run dir layout mirrors the reference (``checkpoints/``, ``samples/``,
+``tb/``, config snapshot -- base_trainer.py:42-45).  Phase wall-time meters
+("load data" / "step" / "log") follow the reference's per-phase meters
+(train_regular_diffusion.py:62-123), with the caveat that a fused jit step
+cannot attribute forward/backward separately -- use ``jax.profiler`` traces
+(``profile_dir``) for intra-step attribution.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..data import Loader, build_dataset, prefetch_to_device
+from ..parallel import data_sharding, is_primary, make_mesh
+from ..utils import (load_checkpoint, load_yaml, save_checkpoint, save_yaml,
+                     snapshot_path)
+from ..utils.config import overlay_eval_dataset_config
+
+
+class Meters:
+    def __init__(self):
+        self.totals = collections.defaultdict(float)
+        self.counts = collections.defaultdict(int)
+
+    def add(self, name, dt):
+        self.totals[name] += dt
+        self.counts[name] += 1
+
+    def summary(self):
+        return {k: self.totals[k] / max(self.counts[k], 1)
+                for k in self.totals}
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
+
+
+class Logger:
+    """Rank-0 logging: TensorBoard (if available) + metrics.jsonl."""
+
+    def __init__(self, run_path: str, enabled: bool, purge_step: int = 0):
+        self.enabled = enabled
+        self._tb = None
+        self._jsonl = None
+        if not enabled:
+            return
+        os.makedirs(os.path.join(run_path, "tb"), exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(run_path, "tb"),
+                                     purge_step=purge_step)
+        except Exception:
+            self._tb = None
+        self._jsonl = open(os.path.join(run_path, "metrics.jsonl"), "a")
+
+    def scalars(self, step: int, values: Dict[str, float]):
+        if not self.enabled:
+            return
+        if self._tb is not None:
+            for k, v in values.items():
+                self._tb.add_scalar(k, v, step)
+        self._jsonl.write(json.dumps({"step": step, **values}) + "\n")
+        self._jsonl.flush()
+
+    def image(self, step: int, name: str, img_hwc_uint8: np.ndarray):
+        if not self.enabled or self._tb is None:
+            return
+        self._tb.add_image(name, img_hwc_uint8, step, dataformats="HWC")
+
+
+class BaseTrainer:
+    """Drive a jitted train step over an infinite sharded batch stream."""
+
+    def __init__(self, config: Optional[dict] = None,
+                 config_path: Optional[str] = None,
+                 run_path: str = "./runs/dev",
+                 resume: Optional[str] = None,
+                 seed: int = 0):
+        assert config is not None or config_path is not None
+        self.config = config if config is not None else load_yaml(config_path)
+        self.run_path = run_path
+        self.seed = seed
+        self.resume = resume
+
+        self.runner_config = self.config["runner_config"]
+        self.dataloader_config = self.config.get("dataloader_config", {})
+
+        os.makedirs(os.path.join(run_path, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(run_path, "samples"), exist_ok=True)
+        if is_primary():
+            save_yaml(self.config, os.path.join(run_path, "config.yml"))
+
+        self.mesh = make_mesh()
+        self.batch_sharding = data_sharding(self.mesh)
+
+        self._build_datasets()
+        self._build()          # subclass: models/state/step_fn
+
+        self.start_step = 0
+        latest = os.path.join(run_path, "checkpoints", "latest.ckpt")
+        if resume:
+            path = resume if os.path.exists(resume) else latest
+            raw = load_checkpoint(path)
+            self.load_state_dict(raw)
+            self.start_step = int(raw["step"])
+        self.logger = Logger(run_path, enabled=is_primary(),
+                             purge_step=self.start_step)
+
+    # -- data ----------------------------------------------------------- #
+
+    def _build_datasets(self):
+        self.train_dataset = build_dataset(self.config["train_dataset_config"])
+        eval_cfg = overlay_eval_dataset_config(self.config)
+        self.eval_dataset = build_dataset(eval_cfg)
+        dl = self.dataloader_config.get("train", {})
+        # effective per-step batch = batch_size * num_iterations (grad accum,
+        # reference train_regular_diffusion.py:72-97)
+        self.micro_batch = int(dl.get("batch_size", 32))
+        self.num_iterations = int(self.runner_config.get("num_iterations", 1))
+        self.loader = Loader(
+            self.train_dataset,
+            batch_size=self.micro_batch * self.num_iterations,
+            shuffle=True, seed=self.seed,
+            num_workers=int(dl.get("num_workers", 4)))
+
+    def _batch_iterator(self) -> Iterator[dict]:
+        return prefetch_to_device(self.loader.infinite(), size=2,
+                                  sharding=self.batch_sharding)
+
+    # -- subclass hooks -------------------------------------------------- #
+
+    def _build(self):
+        raise NotImplementedError
+
+    def train_step(self, state, batch):
+        raise NotImplementedError
+
+    def evaluate(self, step: int):
+        pass
+
+    def state_dict(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def load_state_dict(self, raw) -> None:
+        raise NotImplementedError
+
+    # -- checkpointing --------------------------------------------------- #
+
+    def save(self, step: int, snapshot: bool = False):
+        if not is_primary():
+            return
+        sd = {"step": np.asarray(step, np.int32), **self.state_dict()}
+        latest = os.path.join(self.run_path, "checkpoints", "latest.ckpt")
+        save_checkpoint(latest, sd)
+        if snapshot:
+            save_checkpoint(snapshot_path(self.run_path, step), sd)
+
+    # -- loop ------------------------------------------------------------ #
+
+    def train(self, max_steps: Optional[int] = None):
+        rc = self.runner_config
+        display = int(rc.get("display_steps", 100))
+        eval_every = int(rc.get("evaluate_every_steps", 5000))
+        save_latest = int(rc.get("save_latest_every_steps", 1000))
+        save_snap = int(rc.get("save_checkpoint_every_steps", 10000))
+
+        meters = Meters()
+        losses = collections.defaultdict(list)
+        it = self._batch_iterator()
+        step = self.start_step
+        t_end = time.perf_counter()
+        while max_steps is None or step < max_steps:
+            step += 1
+            t0 = time.perf_counter()
+            batch = next(it)
+            t1 = time.perf_counter()
+            self.state, metrics = self.train_step(self.state, batch)
+            if step % display == 0:
+                # block only when we need numbers on the host
+                metrics = {k: float(v) for k, v in metrics.items()}
+                t2 = time.perf_counter()
+                meters.add("load_data", t1 - t0)
+                meters.add("step", t2 - t1)
+                for k, v in metrics.items():
+                    losses[k].append(v)
+                avg = {k: float(np.mean(v)) for k, v in losses.items()}
+                rate = display / (t2 - t_end) if step > display else 0.0
+                self.logger.scalars(step, {**avg, "steps_per_sec": rate,
+                                           **{f"time/{k}": v for k, v in
+                                              meters.summary().items()}})
+                if is_primary():
+                    print(f"step {step}: " + " ".join(
+                        f"{k}={v:.5f}" for k, v in avg.items())
+                        + f" ({rate:.2f} it/s)", flush=True)
+                losses.clear()
+                meters.reset()
+                t_end = time.perf_counter()
+            if step % save_latest == 0:
+                self.save(step)
+            if step % save_snap == 0:
+                self.save(step, snapshot=True)
+            if step % eval_every == 0:
+                self.evaluate(step)
+        # final save so short runs always leave a checkpoint
+        self.save(step)
+        return step

@@ -24,6 +24,9 @@ from flax import serialization
 
 
 def _to_numpy_tree(tree):
+    # to_state_dict turns tuples/NamedTuples (e.g. optax states) into nested
+    # dicts that msgpack can serialize; leaves become numpy
+    tree = serialization.to_state_dict(tree)
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

@@ -1,0 +1,102 @@
+"""End-to-end smoke tests for the regular DDPM trainer: train a tiny UNet
+on synthetic data, checkpoint, resume, sample."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pdae_tpu.training import RegularDiffusionTrainer
+
+TINY_CONFIG = {
+    "train_dataset_config": {
+        "name": "SYNTHETIC", "image_size": 16, "image_channel": 1,
+        "length": 64,
+    },
+    "eval_dataset_config": {"length": 16},
+    "diffusion_config": {"timesteps": 50, "betas_type": "linear"},
+    "denoise_fn_config": {
+        "model": "UNet", "input_channel": 1, "base_channel": 8,
+        "channel_multiplier": [1, 2], "num_residual_blocks_of_a_block": 1,
+        "attention_resolutions": [2], "num_heads": 1, "head_channel": -1,
+        "use_new_attention_order": False, "dropout": 0.0,
+    },
+    "dataloader_config": {
+        "train": {"num_workers": 1, "batch_size": 8},
+        "eval": {"num_generations": 4},
+    },
+    "optimizer_config": {
+        "lr": 1e-3, "adam_betas": "(0.9, 0.999)", "adam_eps": 1e-8,
+        "weight_decay": 0.0, "enable_amp": False,
+    },
+    "runner_config": {
+        "display_steps": 2, "evaluate_every_steps": 1000,
+        "save_latest_every_steps": 3, "save_checkpoint_every_steps": 1000,
+        "num_iterations": 1, "ema_every": 1, "ema_decay": 0.5,
+        "compile": False,
+    },
+}
+
+
+def test_train_loss_decreases_and_ckpt_roundtrip(tmp_path):
+    run = str(tmp_path / "run")
+    tr = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run)
+    p0 = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+    tr.train(max_steps=6)
+    assert int(tr.state.step) == 6
+    p1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert os.path.exists(os.path.join(run, "checkpoints", "latest.ckpt"))
+    assert os.path.exists(os.path.join(run, "config.yml"))
+
+    # resume restores step and params exactly
+    tr2 = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run,
+                                  resume="latest")
+    assert tr2.start_step == 6
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.opt_state),
+                    jax.tree_util.tree_leaves(tr2.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_tracks_params(tmp_path):
+    tr = RegularDiffusionTrainer(config=TINY_CONFIG,
+                                 run_path=str(tmp_path / "run"))
+    tr.train(max_steps=3)
+    # with decay 0.5 EMA moves toward params but isn't equal
+    p = jax.tree_util.tree_leaves(tr.state.params)[0]
+    e = jax.tree_util.tree_leaves(tr.state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+
+
+def test_grad_accumulation_matches_big_batch(tmp_path):
+    """num_iterations=2 with micro-batch 4 sees the same 8 samples as one
+    batch of 8; losses should be finite and the step count equal."""
+    cfg = {**TINY_CONFIG,
+           "runner_config": {**TINY_CONFIG["runner_config"],
+                             "num_iterations": 2},
+           "dataloader_config": {"train": {"num_workers": 1, "batch_size": 4},
+                                 "eval": {"num_generations": 4}}}
+    tr = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "run"))
+    tr.train(max_steps=2)
+    assert int(tr.state.step) == 2
+
+
+def test_evaluate_writes_grid(tmp_path):
+    run = str(tmp_path / "run")
+    tr = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run)
+    tr.train(max_steps=1)
+    tr.evaluate(1, ddim_style="ddim5")
+    assert os.path.exists(os.path.join(run, "samples", "step-1.png"))
+
+
+def test_conditional_training(tmp_path):
+    cfg = {**TINY_CONFIG,
+           "denoise_fn_config": {**TINY_CONFIG["denoise_fn_config"],
+                                 "num_class": 10}}
+    tr = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "run"))
+    tr.train(max_steps=2)
+    assert int(tr.state.step) == 2
