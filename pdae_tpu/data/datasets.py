@@ -267,6 +267,9 @@ class SYNTHETIC:
         self.image_channel = int(config.get("image_channel", 3))
         self.length = int(config.get("length", 256))
         self.num_class = int(config.get("num_class", 10))
+        # multilabel=N emits +/-1 attribute vectors of size N (CelebA-HQ
+        # style) instead of int class ids
+        self.multilabel = int(config.get("multilabel", 0))
 
     def __len__(self):
         return self.length
@@ -279,8 +282,12 @@ class SYNTHETIC:
         img = np.kron(base, np.ones((reps, reps, 1), np.float32))
         x_0 = img * 2.0 - 1.0
         gt = np.clip(np.floor(img * 255.0 + 0.5), 0, 255).astype(np.uint8)
-        return {"idx": index, "x_0": x_0, "gt": gt,
-                "label": index % self.num_class}
+        if self.multilabel:
+            label = (rs.randint(0, 2, (self.multilabel,)) * 2 - 1).astype(
+                np.int32)
+        else:
+            label = index % self.num_class
+        return {"idx": index, "x_0": x_0, "gt": gt, "label": label}
 
     @staticmethod
     def collate_fn(batch):

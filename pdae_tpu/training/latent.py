@@ -1,0 +1,177 @@
+"""Latent DPM trainer: MLPSkipNet over the learned z-space.
+
+Equivalent of ``/root/reference/trainer/train_latent_diffusion.py``:
+loads the frozen EMA encoder+decoder from the PDAE checkpoint (:42-56) and
+the z mean/std stats from ``infer_latents`` (:58-61); encodes on the fly,
+normalizes, stops gradients, and trains the MLP with L1 loss on the
+constant-beta latent schedule (gaussian_diffusion.py:344-398).  Eval runs
+the full latent -> image unconditional pipeline (:180-209).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import GaussianDiffusion
+from ..models import build_decoder, build_encoder, build_latent_denoise_fn
+from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils.rng import step_key
+from .artifacts import load_latent_stats, load_pdae, resolve_model_config
+from .base import BaseTrainer
+from .state import TrainState, make_optimizer, maybe_ema_update
+
+
+class LatentDiffusionTrainer(BaseTrainer):
+
+    def _build(self):
+        # diffusion config comes from the PDAE run (for the image decoder);
+        # the latent process has its own fixed schedule
+        pdae_cfg, enc_raw, dec_raw = load_pdae(
+            self.config["trained_representation_learning_config"],
+            self.config["trained_representation_learning_checkpoint"])
+        diffusion_cfg = self.config.get("diffusion_config",
+                                        pdae_cfg.get("diffusion_config"))
+        self.gd = GaussianDiffusion(diffusion_cfg)
+
+        ds_cfg = self.config["train_dataset_config"]
+        size = int(ds_cfg["image_size"])
+        chans = int(ds_cfg["image_channel"])
+        self.sample_shape = (size, size, chans)
+
+        ddpm_model_cfg = resolve_model_config(
+            self.config.get("trained_ddpm_config",
+                            pdae_cfg.get("trained_ddpm_config")))
+        self.encoder = build_encoder(pdae_cfg["encoder_config"],
+                                     image_size=size)
+        self.decoder = build_decoder(pdae_cfg["decoder_config"],
+                                     ddpm_model_cfg)
+
+        x = jnp.zeros((1, size, size, chans))
+        t = jnp.zeros((1,), jnp.int32)
+        latent_dim = int(pdae_cfg["encoder_config"]["latent_dim"])
+        z = jnp.zeros((1, latent_dim))
+        enc_template = jax.jit(self.encoder.init)(init_key(0), x)["params"]
+        dec_template = jax.jit(self.decoder.init)(init_key(1), x, t, z)["params"]
+        self.encoder_params = restore_into(enc_template, enc_raw)
+        self.decoder_params = restore_into(dec_template, dec_raw)
+
+        self.latents_mean, self.latents_std = load_latent_stats(
+            self.config["inferred_latents"])
+
+        lat_cfg = self.config["latent_denoise_fn_config"]
+        self.latent_dim = int(lat_cfg["input_channel"])
+        self.model = build_latent_denoise_fn(lat_cfg)
+        zz = jnp.zeros((1, self.latent_dim))
+        params = jax.jit(self.model.init)(
+            init_key(self.seed + 2), zz, t)["params"]
+
+        self.tx = make_optimizer(self.config["optimizer_config"])
+        self.state = TrainState.create(params, self.tx)
+        self._base_rng = process_key(self.seed)
+
+        gd, model, tx = self.gd, self.model, self.tx
+        encoder, enc_p = self.encoder, self.encoder_params
+        decoder, dec_p = self.decoder, self.decoder_params
+        mean, std = self.latents_mean, self.latents_std
+        ema_decay = float(self.runner_config.get("ema_decay", 0.9999))
+        ema_every = int(self.runner_config.get("ema_every", 1))
+        num_iters = self.num_iterations
+
+        def enc_apply(x_0):
+            return encoder.apply({"params": enc_p}, x_0)
+
+        def dec_apply(x_t, tt, zc):
+            return decoder.apply({"params": dec_p}, x_t, tt, zc)
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, batch):
+            rng = step_key(self._base_rng, state.step)
+
+            def loss_fn(params, x_0, key):
+                out = gd.latent_diffusion_train_one_batch(
+                    key,
+                    lambda zt, tt: model.apply({"params": params}, zt, tt),
+                    enc_apply, x_0, mean, std)
+                return out["prediction_loss"]
+
+            x_0 = batch["x_0"]
+            if num_iters > 1:
+                mb = x_0.shape[0] // num_iters
+                x_0 = x_0.reshape((num_iters, mb) + x_0.shape[1:])
+                keys = jax.random.split(rng, num_iters)
+
+                def micro(carry, inp):
+                    xb, key = inp
+                    l, g = jax.value_and_grad(loss_fn)(state.params, xb, key)
+                    la, ga = carry
+                    return (la + l,
+                            jax.tree_util.tree_map(jnp.add, ga, g)), None
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (loss, grads), _ = jax.lax.scan(micro, (0.0, zero),
+                                                (x_0, keys))
+                loss = loss / num_iters
+                grads = jax.tree_util.tree_map(lambda g: g / num_iters, grads)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, x_0, rng)
+
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+            new_step = state.step + 1
+            ema = maybe_ema_update(new_step, state.ema_params, params,
+                                   ema_decay, ema_every)
+            return state.replace(step=new_step, params=params, ema_params=ema,
+                                 opt_state=opt_state), {
+                "prediction_loss": loss}
+
+        self._train_step = train_step
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def sample_fn(ema_params, x_T, latent_ddim_style, decoder_ddim_style):
+            key = jax.random.fold_in(self._base_rng, 12345)
+            return gd.latent_diffusion_sample(
+                key, latent_ddim_style, decoder_ddim_style,
+                lambda zt, tt: model.apply({"params": ema_params}, zt, tt),
+                dec_apply, x_T, mean, std, latent_dim=self.latent_dim)
+
+        self._sample_fn = sample_fn
+
+    def train_step(self, state, batch):
+        return self._train_step(state, batch)
+
+    def evaluate(self, step: int, latent_ddim_style: str = "ddim100",
+                 decoder_ddim_style: str = "ddim100"):
+        n = int(self.dataloader_config.get("eval", {})
+                .get("num_generations", 36))
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
+        x_T = jax.random.normal(key, (n,) + self.sample_shape)
+        imgs = np.asarray(self._sample_fn(self.state.ema_params, x_T,
+                                          latent_ddim_style,
+                                          decoder_ddim_style))
+        grid = to_uint8(imgs)
+        path = os.path.join(self.run_path, "samples",
+                            f"sample{step // 1000}k.png")
+        save_image_grid(grid, path)
+        from ..utils.image import make_grid
+        self.logger.image(step, "result", make_grid(grid))
+
+    # keys mirror train_latent_diffusion.py save()
+    def state_dict(self):
+        return {
+            "latent_denoise_fn": self.state.params,
+            "ema_latent_denoise_fn": self.state.ema_params,
+            "optimizer": self.state.opt_state,
+        }
+
+    def load_state_dict(self, raw):
+        params = restore_into(self.state.params, raw["latent_denoise_fn"])
+        ema = restore_into(self.state.ema_params, raw["ema_latent_denoise_fn"])
+        opt = restore_into(self.state.opt_state, raw["optimizer"])
+        self.state = self.state.replace(
+            step=jnp.asarray(int(raw["step"]), jnp.int32),
+            params=params, ema_params=ema, opt_state=opt)

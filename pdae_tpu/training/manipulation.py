@@ -1,0 +1,158 @@
+"""Manipulation trainer: linear attribute classifier over normalized z.
+
+Equivalent of ``/root/reference/trainer/train_manipulation.py``: a
+``Linear(latent_dim, 40)`` trained with BCE-with-logits on the CelebA-HQ
+attribute labels (loss at gaussian_diffusion.py:422-433), with the PDAE
+encoder/decoder frozen.  Eval mirrors the reference's qualitative check
+(:166-204): DDIM-500 encode, then manipulated DDIM-200 decode of attribute
+31 ("Smiling") at scale 0.3.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import GaussianDiffusion
+from ..models import (LinearClassifier, build_classifier, build_decoder,
+                      build_encoder)
+from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils.rng import step_key
+from .artifacts import load_latent_stats, load_pdae, resolve_model_config
+from .base import BaseTrainer
+from .state import TrainState, make_optimizer, maybe_ema_update
+
+
+class ManipulationTrainer(BaseTrainer):
+
+    def _build(self):
+        pdae_cfg, enc_raw, dec_raw = load_pdae(
+            self.config["trained_representation_learning_config"],
+            self.config["trained_representation_learning_checkpoint"])
+        diffusion_cfg = self.config.get("diffusion_config",
+                                        pdae_cfg.get("diffusion_config"))
+        self.gd = GaussianDiffusion(diffusion_cfg)
+
+        ds_cfg = self.config["train_dataset_config"]
+        size = int(ds_cfg["image_size"])
+        chans = int(ds_cfg["image_channel"])
+
+        ddpm_model_cfg = resolve_model_config(
+            self.config.get("trained_ddpm_config",
+                            pdae_cfg.get("trained_ddpm_config")))
+        self.encoder = build_encoder(pdae_cfg["encoder_config"],
+                                     image_size=size)
+        self.decoder = build_decoder(pdae_cfg["decoder_config"],
+                                     ddpm_model_cfg)
+
+        x = jnp.zeros((1, size, size, chans))
+        t = jnp.zeros((1,), jnp.int32)
+        self.latent_dim = int(pdae_cfg["encoder_config"]["latent_dim"])
+        z = jnp.zeros((1, self.latent_dim))
+        enc_template = jax.jit(self.encoder.init)(init_key(0), x)["params"]
+        dec_template = jax.jit(self.decoder.init)(init_key(1), x, t, z)["params"]
+        self.encoder_params = restore_into(enc_template, enc_raw)
+        self.decoder_params = restore_into(dec_template, dec_raw)
+
+        self.latents_mean, self.latents_std = load_latent_stats(
+            self.config["inferred_latents"])
+
+        self.num_classes = int(self.config.get("num_classes", 40))
+        self.model = build_classifier(self.num_classes)
+        params = jax.jit(self.model.init)(
+            init_key(self.seed + 3), z)["params"]
+
+        self.tx = make_optimizer(self.config["optimizer_config"])
+        self.state = TrainState.create(params, self.tx)
+        self._base_rng = process_key(self.seed)
+
+        gd, model, tx = self.gd, self.model, self.tx
+        encoder, enc_p = self.encoder, self.encoder_params
+        decoder, dec_p = self.decoder, self.decoder_params
+        mean, std = self.latents_mean, self.latents_std
+        ema_decay = float(self.runner_config.get("ema_decay", 0.9999))
+        ema_every = int(self.runner_config.get("ema_every", 1))
+
+        def enc_apply(x_0):
+            return encoder.apply({"params": enc_p}, x_0)
+
+        def dec_apply(x_t, tt, zc):
+            return decoder.apply({"params": dec_p}, x_t, tt, zc)
+
+        self._enc_apply = enc_apply
+        self._dec_apply = dec_apply
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, batch):
+            def loss_fn(params):
+                out = gd.manipulation_train_one_batch(
+                    lambda zn: model.apply({"params": params}, zn),
+                    enc_apply, batch["x_0"], batch["label"], mean, std)
+                return out["bce_loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+            new_step = state.step + 1
+            ema = maybe_ema_update(new_step, state.ema_params, params,
+                                   ema_decay, ema_every)
+            return state.replace(step=new_step, params=params, ema_params=ema,
+                                 opt_state=opt_state), {"bce_loss": loss}
+
+        self._train_step = train_step
+
+        @partial(jax.jit, static_argnums=(3, 4, 5, 6))
+        def manip_fn(clf_params, x_0, inferred_x_T, encode_style,
+                     decode_style, class_id, scale):
+            w = LinearClassifier.weight({"params": clf_params})
+            return gd.manipulation_sample(
+                decode_style, w, enc_apply, dec_apply, x_0, inferred_x_T,
+                mean, std, class_id, scale)
+
+        self._manip_fn = manip_fn
+
+        @partial(jax.jit, static_argnums=(1,))
+        def encode_fn(x_0, ddim_style):
+            return gd.representation_learning_ddim_encode(
+                ddim_style, enc_apply, dec_apply, x_0)
+
+        self._encode_fn = encode_fn
+
+    def train_step(self, state, batch):
+        return self._train_step(state, batch)
+
+    def evaluate(self, step: int, encode_style: str = "ddim500",
+                 decode_style: str = "ddim200", class_id: int = 31,
+                 scale: float = 0.3):
+        items = [self.eval_dataset.__getitem__(i) for i in range(1)]
+        batch = type(self.eval_dataset).collate_fn(items)
+        x_0 = jnp.asarray(batch["x_0"])
+        x_T = self._encode_fn(x_0, encode_style)
+        imgs = np.asarray(self._manip_fn(self.state.ema_params, x_0, x_T,
+                                         encode_style, decode_style,
+                                         class_id, scale))
+        grid = np.concatenate([to_uint8(np.asarray(x_0)), to_uint8(imgs)])
+        path = os.path.join(self.run_path, "samples",
+                            f"sample{step // 1000}k.png")
+        save_image_grid(grid, path, nrow=grid.shape[0])
+        from ..utils.image import make_grid
+        self.logger.image(step, "result", make_grid(grid, nrow=grid.shape[0]))
+
+    def state_dict(self):
+        return {
+            "classifier": self.state.params,
+            "ema_classifier": self.state.ema_params,
+            "optimizer": self.state.opt_state,
+        }
+
+    def load_state_dict(self, raw):
+        params = restore_into(self.state.params, raw["classifier"])
+        ema = restore_into(self.state.ema_params, raw["ema_classifier"])
+        opt = restore_into(self.state.opt_state, raw["optimizer"])
+        self.state = self.state.replace(
+            step=jnp.asarray(int(raw["step"]), jnp.int32),
+            params=params, ema_params=ema, opt_state=opt)

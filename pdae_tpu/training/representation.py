@@ -1,0 +1,195 @@
+"""PDAE representation-learning trainer: semantic encoder + ShiftUNet
+gradient branch on a frozen pre-trained DPM.
+
+Equivalent of ``/root/reference/trainer/train_representation_learning.py``.
+TPU-first mechanics:
+
+  * the frozen DPM trunk is NOT in the optimizer state at all -- the
+    trainable pytree is {encoder, shift branch} and the trunk rides along
+    as a closure constant, so ``requires_grad_(False)`` + param groups
+    (reference :58-70, shift_unet.py:299-310) become structural;
+  * loss = SNR-weighted MSE(noise, eps + shift_coef * gradient)
+    (gaussian_diffusion.py:246-251);
+  * one jitted program per step: encoder fwd, ShiftUNet fwd, bwd, adam,
+    EMA of the trainable subtree (reference EMA only touches
+    requires_grad params, :192-212 -- same effect);
+  * eval: shift-DDIM-100 grid of z-conditioned samples vs GTs (:158-190).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import GaussianDiffusion
+from ..models import build_decoder, build_encoder
+from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils.rng import step_key
+from .artifacts import (graft_ddpm_into_decoder, load_ddpm_params,
+                        resolve_model_config)
+from .base import BaseTrainer
+from .partition import merge_params, split_shift_unet
+from .state import TrainState, make_optimizer, maybe_ema_update
+
+
+class RepresentationLearningTrainer(BaseTrainer):
+
+    def _build(self):
+        self.gd = GaussianDiffusion(self.config["diffusion_config"])
+        ds_cfg = self.config["train_dataset_config"]
+        size = int(ds_cfg["image_size"])
+        chans = int(ds_cfg["image_channel"])
+        self.sample_shape = (size, size, chans)
+
+        ddpm_model_cfg = resolve_model_config(self.config["trained_ddpm_config"])
+        self.encoder = build_encoder(self.config["encoder_config"],
+                                     image_size=size)
+        self.decoder = build_decoder(self.config["decoder_config"],
+                                     ddpm_model_cfg)
+
+        x = jnp.zeros((1, size, size, chans))
+        t = jnp.zeros((1,), jnp.int32)
+        z = jnp.zeros((1, int(self.config["encoder_config"]["latent_dim"])))
+        enc_params = jax.jit(self.encoder.init)(init_key(self.seed), x)["params"]
+        dec_params = jax.jit(self.decoder.init)(
+            init_key(self.seed + 1), x, t, z)["params"]
+
+        # graft the pre-trained DPM into the frozen trunk (strict=False)
+        ckpt = self.config.get("trained_ddpm_checkpoint")
+        if ckpt:
+            dec_params = graft_ddpm_into_decoder(
+                dec_params, load_ddpm_params(ckpt))
+
+        shift_params, frozen_params = split_shift_unet(dec_params)
+        self.frozen_params = frozen_params   # never updated, bit-stable
+        trainable = {"encoder": enc_params, "shift": shift_params}
+
+        self.tx = make_optimizer(self.config["optimizer_config"])
+        self.state = TrainState.create(trainable, self.tx)
+        self._base_rng = process_key(self.seed)
+
+        gd, encoder, decoder, tx = self.gd, self.encoder, self.decoder, self.tx
+        frozen = self.frozen_params
+        ema_decay = float(self.runner_config.get("ema_decay", 0.9999))
+        ema_every = int(self.runner_config.get("ema_every", 1))
+        num_iters = self.num_iterations
+
+        def enc_apply(p, x_0):
+            return encoder.apply({"params": p}, x_0)
+
+        def dec_apply(shift_p, x_t, t, z):
+            full = merge_params(frozen, shift_p)
+            return decoder.apply({"params": full}, x_t, t, z)
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, batch):
+            rng = step_key(self._base_rng, state.step)
+
+            def loss_fn(params, x_0, key):
+                out = gd.representation_learning_train_one_batch(
+                    key, lambda xx: enc_apply(params["encoder"], xx),
+                    lambda xx, tt, zz: dec_apply(params["shift"], xx, tt, zz),
+                    x_0)
+                return out["prediction_loss"]
+
+            x_0 = batch["x_0"]
+            if num_iters > 1:
+                mb = x_0.shape[0] // num_iters
+                x_0 = x_0.reshape((num_iters, mb) + x_0.shape[1:])
+                keys = jax.random.split(rng, num_iters)
+
+                def micro(carry, inp):
+                    xb, key = inp
+                    l, g = jax.value_and_grad(loss_fn)(state.params, xb, key)
+                    la, ga = carry
+                    return (la + l,
+                            jax.tree_util.tree_map(jnp.add, ga, g)), None
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (loss, grads), _ = jax.lax.scan(micro, (0.0, zero),
+                                                (x_0, keys))
+                loss = loss / num_iters
+                grads = jax.tree_util.tree_map(lambda g: g / num_iters, grads)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, x_0, rng)
+
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+            new_step = state.step + 1
+            ema = maybe_ema_update(new_step, state.ema_params, params,
+                                   ema_decay, ema_every)
+            return state.replace(step=new_step, params=params, ema_params=ema,
+                                 opt_state=opt_state), {
+                "prediction_loss": loss}
+
+        self._train_step = train_step
+
+        @partial(jax.jit, static_argnums=(2,))
+        def sample_fn(ema_params, batch_x0_and_xT, ddim_style):
+            x_0, x_T = batch_x0_and_xT
+            return gd.representation_learning_ddim_sample(
+                ddim_style,
+                lambda xx: enc_apply(ema_params["encoder"], xx),
+                lambda xx, tt, zz: dec_apply(ema_params["shift"], xx, tt, zz),
+                x_0, x_T)
+
+        self._sample_fn = sample_fn
+
+    def train_step(self, state, batch):
+        return self._train_step(state, batch)
+
+    def evaluate(self, step: int, ddim_style: str = "ddim100"):
+        n = int(self.dataloader_config.get("eval", {})
+                .get("num_generations", 36))
+        eval_batch = self._eval_batch(n)
+        x_0 = jnp.asarray(eval_batch["x_0"])
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
+        x_T = jax.random.normal(key, x_0.shape)
+        imgs = np.asarray(self._sample_fn(self.state.ema_params, (x_0, x_T),
+                                          ddim_style))
+        grid = to_uint8(imgs)
+        path = os.path.join(self.run_path, "samples",
+                            f"sample{step // 1000}k.png")
+        save_image_grid(grid, path, gts=eval_batch["gts"])
+        from ..utils.image import make_grid
+        self.logger.image(step, "result", make_grid(grid))
+
+    def _eval_batch(self, n: int):
+        items = [self.eval_dataset.__getitem__(i) for i in range(
+            min(n, len(self.eval_dataset)))]
+        return type(self.eval_dataset).collate_fn(items)
+
+    # checkpoint keys mirror train_representation_learning.py:214-239
+    def state_dict(self):
+        dec = merge_params(self.frozen_params, self.state.params["shift"])
+        ema_dec = merge_params(self.frozen_params,
+                               self.state.ema_params["shift"])
+        return {
+            "encoder": self.state.params["encoder"],
+            "ema_encoder": self.state.ema_params["encoder"],
+            "decoder": dec,
+            "ema_decoder": ema_dec,
+            "optimizer": self.state.opt_state,
+        }
+
+    def load_state_dict(self, raw):
+        enc = restore_into(self.state.params["encoder"], raw["encoder"])
+        ema_enc = restore_into(self.state.ema_params["encoder"],
+                               raw["ema_encoder"])
+        full_template = merge_params(self.frozen_params,
+                                     self.state.params["shift"])
+        dec = restore_into(full_template, raw["decoder"])
+        ema_dec = restore_into(full_template, raw["ema_decoder"])
+        shift, frozen = split_shift_unet(dec)
+        ema_shift, _ = split_shift_unet(ema_dec)
+        self.frozen_params = frozen
+        opt = restore_into(self.state.opt_state, raw["optimizer"])
+        self.state = self.state.replace(
+            step=jnp.asarray(int(raw["step"]), jnp.int32),
+            params={"encoder": enc, "shift": shift},
+            ema_params={"encoder": ema_enc, "shift": ema_shift},
+            opt_state=opt)
