@@ -245,6 +245,14 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int,
     else:
         qkv = qkv.reshape(b, t, num_heads, 3, ch)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+
+    from ..ops import fused_qkv_attention, use_pallas
+    if use_pallas():
+        out = fused_qkv_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+        return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * ch)
+
     scale = 1.0 / math.sqrt(math.sqrt(ch))
     logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
                         preferred_element_type=jnp.float32)

@@ -75,28 +75,29 @@ class LatentDiffusionTrainer(BaseTrainer):
         self._base_rng = process_key(self.seed)
 
         gd, model, tx = self.gd, self.model, self.tx
-        encoder, enc_p = self.encoder, self.encoder_params
-        decoder, dec_p = self.decoder, self.decoder_params
+        encoder, decoder = self.encoder, self.decoder
         mean, std = self.latents_mean, self.latents_std
         ema_decay = float(self.runner_config.get("ema_decay", 0.9999))
         ema_every = int(self.runner_config.get("ema_every", 1))
         num_iters = self.num_iterations
 
-        def enc_apply(x_0):
-            return encoder.apply({"params": enc_p}, x_0)
+        # frozen encoder/decoder params are explicit jit args (constants
+        # would bloat the HLO; see representation.py note)
+        def enc_apply(ep, x_0):
+            return encoder.apply({"params": ep}, x_0)
 
-        def dec_apply(x_t, tt, zc):
-            return decoder.apply({"params": dec_p}, x_t, tt, zc)
+        def dec_apply(dp, x_t, tt, zc):
+            return decoder.apply({"params": dp}, x_t, tt, zc)
 
         @partial(jax.jit, donate_argnums=0)
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, enc_p, batch):
             rng = step_key(self._base_rng, state.step)
 
             def loss_fn(params, x_0, key):
                 out = gd.latent_diffusion_train_one_batch(
                     key,
                     lambda zt, tt: model.apply({"params": params}, zt, tt),
-                    enc_apply, x_0, mean, std)
+                    lambda xx: enc_apply(enc_p, xx), x_0, mean, std)
                 return out["prediction_loss"]
 
             x_0 = batch["x_0"]
@@ -131,18 +132,20 @@ class LatentDiffusionTrainer(BaseTrainer):
 
         self._train_step = train_step
 
-        @partial(jax.jit, static_argnums=(2, 3))
-        def sample_fn(ema_params, x_T, latent_ddim_style, decoder_ddim_style):
+        @partial(jax.jit, static_argnums=(3, 4))
+        def sample_fn(ema_params, dec_p, x_T, latent_ddim_style,
+                      decoder_ddim_style):
             key = jax.random.fold_in(self._base_rng, 12345)
             return gd.latent_diffusion_sample(
                 key, latent_ddim_style, decoder_ddim_style,
                 lambda zt, tt: model.apply({"params": ema_params}, zt, tt),
-                dec_apply, x_T, mean, std, latent_dim=self.latent_dim)
+                lambda xx, tt, zc: dec_apply(dec_p, xx, tt, zc),
+                x_T, mean, std, latent_dim=self.latent_dim)
 
         self._sample_fn = sample_fn
 
     def train_step(self, state, batch):
-        return self._train_step(state, batch)
+        return self._train_step(state, self.encoder_params, batch)
 
     def evaluate(self, step: int, latent_ddim_style: str = "ddim100",
                  decoder_ddim_style: str = "ddim100"):
@@ -150,7 +153,8 @@ class LatentDiffusionTrainer(BaseTrainer):
                 .get("num_generations", 36))
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         x_T = jax.random.normal(key, (n,) + self.sample_shape)
-        imgs = np.asarray(self._sample_fn(self.state.ema_params, x_T,
+        imgs = np.asarray(self._sample_fn(self.state.ema_params,
+                                          self.decoder_params, x_T,
                                           latent_ddim_style,
                                           decoder_ddim_style))
         grid = to_uint8(imgs)

@@ -71,27 +71,29 @@ class ManipulationTrainer(BaseTrainer):
         self._base_rng = process_key(self.seed)
 
         gd, model, tx = self.gd, self.model, self.tx
-        encoder, enc_p = self.encoder, self.encoder_params
-        decoder, dec_p = self.decoder, self.decoder_params
+        encoder, decoder = self.encoder, self.decoder
         mean, std = self.latents_mean, self.latents_std
         ema_decay = float(self.runner_config.get("ema_decay", 0.9999))
         ema_every = int(self.runner_config.get("ema_every", 1))
 
-        def enc_apply(x_0):
-            return encoder.apply({"params": enc_p}, x_0)
+        # frozen encoder/decoder params are explicit jit args (constants
+        # would bloat the HLO; see representation.py note)
+        def enc_apply(ep, x_0):
+            return encoder.apply({"params": ep}, x_0)
 
-        def dec_apply(x_t, tt, zc):
-            return decoder.apply({"params": dec_p}, x_t, tt, zc)
+        def dec_apply(dp, x_t, tt, zc):
+            return decoder.apply({"params": dp}, x_t, tt, zc)
 
         self._enc_apply = enc_apply
         self._dec_apply = dec_apply
 
         @partial(jax.jit, donate_argnums=0)
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, enc_p, batch):
             def loss_fn(params):
                 out = gd.manipulation_train_one_batch(
                     lambda zn: model.apply({"params": params}, zn),
-                    enc_apply, batch["x_0"], batch["label"], mean, std)
+                    lambda xx: enc_apply(enc_p, xx),
+                    batch["x_0"], batch["label"], mean, std)
                 return out["bce_loss"]
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -105,25 +107,27 @@ class ManipulationTrainer(BaseTrainer):
 
         self._train_step = train_step
 
-        @partial(jax.jit, static_argnums=(3, 4, 5, 6))
-        def manip_fn(clf_params, x_0, inferred_x_T, encode_style,
-                     decode_style, class_id, scale):
+        @partial(jax.jit, static_argnums=(5, 6, 7, 8))
+        def manip_fn(clf_params, enc_p, dec_p, x_0, inferred_x_T,
+                     encode_style, decode_style, class_id, scale):
             w = LinearClassifier.weight({"params": clf_params})
             return gd.manipulation_sample(
-                decode_style, w, enc_apply, dec_apply, x_0, inferred_x_T,
-                mean, std, class_id, scale)
+                decode_style, w, lambda xx: enc_apply(enc_p, xx),
+                lambda xx, tt, zc: dec_apply(dec_p, xx, tt, zc),
+                x_0, inferred_x_T, mean, std, class_id, scale)
 
         self._manip_fn = manip_fn
 
-        @partial(jax.jit, static_argnums=(1,))
-        def encode_fn(x_0, ddim_style):
+        @partial(jax.jit, static_argnums=(3,))
+        def encode_fn(enc_p, dec_p, x_0, ddim_style):
             return gd.representation_learning_ddim_encode(
-                ddim_style, enc_apply, dec_apply, x_0)
+                ddim_style, lambda xx: enc_apply(enc_p, xx),
+                lambda xx, tt, zc: dec_apply(dec_p, xx, tt, zc), x_0)
 
         self._encode_fn = encode_fn
 
     def train_step(self, state, batch):
-        return self._train_step(state, batch)
+        return self._train_step(state, self.encoder_params, batch)
 
     def evaluate(self, step: int, encode_style: str = "ddim500",
                  decode_style: str = "ddim200", class_id: int = 31,
@@ -131,8 +135,11 @@ class ManipulationTrainer(BaseTrainer):
         items = [self.eval_dataset.__getitem__(i) for i in range(1)]
         batch = type(self.eval_dataset).collate_fn(items)
         x_0 = jnp.asarray(batch["x_0"])
-        x_T = self._encode_fn(x_0, encode_style)
-        imgs = np.asarray(self._manip_fn(self.state.ema_params, x_0, x_T,
+        x_T = self._encode_fn(self.encoder_params, self.decoder_params,
+                              x_0, encode_style)
+        imgs = np.asarray(self._manip_fn(self.state.ema_params,
+                                         self.encoder_params,
+                                         self.decoder_params, x_0, x_T,
                                          encode_style, decode_style,
                                          class_id, scale))
         grid = np.concatenate([to_uint8(np.asarray(x_0)), to_uint8(imgs)])

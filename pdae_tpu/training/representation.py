@@ -5,9 +5,10 @@ Equivalent of ``/root/reference/trainer/train_representation_learning.py``.
 TPU-first mechanics:
 
   * the frozen DPM trunk is NOT in the optimizer state at all -- the
-    trainable pytree is {encoder, shift branch} and the trunk rides along
-    as a closure constant, so ``requires_grad_(False)`` + param groups
-    (reference :58-70, shift_unet.py:299-310) become structural;
+    trainable pytree is {encoder, shift branch} and the trunk is passed as
+    a separate (never-updated) jit argument, so ``requires_grad_(False)``
+    + param groups (reference :58-70, shift_unet.py:299-310) become
+    structural;
   * loss = SNR-weighted MSE(noise, eps + shift_coef * gradient)
     (gaussian_diffusion.py:246-251);
   * one jitted program per step: encoder fwd, ShiftUNet fwd, bwd, adam,
@@ -73,7 +74,6 @@ class RepresentationLearningTrainer(BaseTrainer):
         self._base_rng = process_key(self.seed)
 
         gd, encoder, decoder, tx = self.gd, self.encoder, self.decoder, self.tx
-        frozen = self.frozen_params
         ema_decay = float(self.runner_config.get("ema_decay", 0.9999))
         ema_every = int(self.runner_config.get("ema_every", 1))
         num_iters = self.num_iterations
@@ -81,18 +81,22 @@ class RepresentationLearningTrainer(BaseTrainer):
         def enc_apply(p, x_0):
             return encoder.apply({"params": p}, x_0)
 
-        def dec_apply(shift_p, x_t, t, z):
+        # frozen params are an explicit argument: closed-over trees would be
+        # baked into the HLO as constants (huge programs; axon remote compile
+        # rejects them)
+        def dec_apply(frozen, shift_p, x_t, t, z):
             full = merge_params(frozen, shift_p)
             return decoder.apply({"params": full}, x_t, t, z)
 
         @partial(jax.jit, donate_argnums=0)
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, frozen, batch):
             rng = step_key(self._base_rng, state.step)
 
             def loss_fn(params, x_0, key):
                 out = gd.representation_learning_train_one_batch(
                     key, lambda xx: enc_apply(params["encoder"], xx),
-                    lambda xx, tt, zz: dec_apply(params["shift"], xx, tt, zz),
+                    lambda xx, tt, zz: dec_apply(frozen, params["shift"],
+                                                 xx, tt, zz),
                     x_0)
                 return out["prediction_loss"]
 
@@ -128,19 +132,20 @@ class RepresentationLearningTrainer(BaseTrainer):
 
         self._train_step = train_step
 
-        @partial(jax.jit, static_argnums=(2,))
-        def sample_fn(ema_params, batch_x0_and_xT, ddim_style):
+        @partial(jax.jit, static_argnums=(3,))
+        def sample_fn(ema_params, frozen, batch_x0_and_xT, ddim_style):
             x_0, x_T = batch_x0_and_xT
             return gd.representation_learning_ddim_sample(
                 ddim_style,
                 lambda xx: enc_apply(ema_params["encoder"], xx),
-                lambda xx, tt, zz: dec_apply(ema_params["shift"], xx, tt, zz),
+                lambda xx, tt, zz: dec_apply(frozen, ema_params["shift"],
+                                             xx, tt, zz),
                 x_0, x_T)
 
         self._sample_fn = sample_fn
 
     def train_step(self, state, batch):
-        return self._train_step(state, batch)
+        return self._train_step(state, self.frozen_params, batch)
 
     def evaluate(self, step: int, ddim_style: str = "ddim100"):
         n = int(self.dataloader_config.get("eval", {})
@@ -149,7 +154,8 @@ class RepresentationLearningTrainer(BaseTrainer):
         x_0 = jnp.asarray(eval_batch["x_0"])
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         x_T = jax.random.normal(key, x_0.shape)
-        imgs = np.asarray(self._sample_fn(self.state.ema_params, (x_0, x_T),
+        imgs = np.asarray(self._sample_fn(self.state.ema_params,
+                                          self.frozen_params, (x_0, x_T),
                                           ddim_style))
         grid = to_uint8(imgs)
         path = os.path.join(self.run_path, "samples",

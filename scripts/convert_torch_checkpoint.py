@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Convert reference torch ``.pt`` checkpoints to pdae_tpu msgpack format.
+
+Covers every artifact the reference distributes (README.md:45-51):
+pre-trained DPMs ('ema_denoise_fn'), trained PDAE autoencoders
+('ema_encoder'/'ema_decoder'), latent DPMs, manipulation classifiers, and
+inferred-latent stats files.
+
+Usage:
+  python scripts/convert_torch_checkpoint.py in.pt out.ckpt \
+      [--encoder-stages {4,5}]     # 4 = 64px geometry, 5 = 128px
+  python scripts/convert_torch_checkpoint.py latents.pt latents.ckpt --stats
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--encoder-stages", type=int, default=4, choices=(4, 5))
+    p.add_argument("--stats", action="store_true",
+                   help="input is an inferred-latents {mean,std} file")
+    args = p.parse_args(argv)
+
+    import torch
+    import numpy as np
+    from pdae_tpu.utils import save_checkpoint
+    from pdae_tpu.utils.torch_convert import convert_reference_checkpoint
+
+    data = torch.load(args.input, map_location="cpu", weights_only=False)
+    if args.stats:
+        out = {"mean": np.asarray(data["mean"].numpy(), np.float32),
+               "std": np.asarray(data["std"].numpy(), np.float32)}
+    else:
+        out = convert_reference_checkpoint(
+            data, num_encoder_stages=args.encoder_stages)
+    save_checkpoint(args.output, out)
+    print(f"converted {args.input} -> {args.output} "
+          f"(keys: {sorted(out)})")
+
+
+if __name__ == "__main__":
+    main()
