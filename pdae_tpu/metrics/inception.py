@@ -1,0 +1,186 @@
+"""InceptionV3 pool3 feature extractor for FID, JAX/NHWC.
+
+Implements the torchvision InceptionV3 graph (the variant used by TF-FID /
+pytorch-fid, which the reference loads at
+``/root/reference/metric/fid/inception.py:198-223``) as pure functions over
+a weight dict keyed by the torchvision state-dict names, so the downloaded
+``pt_inception-2015-12-05`` weights convert 1:1
+(``scripts/convert_torch_checkpoint.py --inception``).
+
+FID-variant details honored:
+  * BasicConv2d = conv(no bias) + BatchNorm(eps=1e-3, running stats) + ReLU
+  * InceptionA/C pool branches use 3x3 avg-pool (stride 1, SAME,
+    count_include_pad=False semantics)
+  * inputs are resized to 299x299 bilinear and scaled to [-1, 1]
+  * features = global average pool after Mixed_7c -> [N, 2048]
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv(x, w, stride=1, padding="SAME"):
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return jax.lax.conv_general_dilated(
+        x, w, stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn(x, scale, bias, mean, var, eps=1e-3):
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * scale + bias
+
+
+def _basic_conv(p: Dict, name: str, x, stride=1, padding="SAME"):
+    w = p[f"{name}.conv.weight"]
+    x = _conv(x, w, stride, padding)
+    x = _bn(x, p[f"{name}.bn.weight"], p[f"{name}.bn.bias"],
+            p[f"{name}.bn.running_mean"], p[f"{name}.bn.running_var"])
+    return jax.nn.relu(x)
+
+
+def _max_pool_3x3_s2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+
+def _avg_pool_3x3_same_no_pad(x):
+    """3x3 stride-1 avg pool, zero pad, count_include_pad=False."""
+    ones = jnp.ones(x.shape[:1] + x.shape[1:3] + (1,), x.dtype)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                   (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add,
+                                   (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    return summed / counts
+
+
+def _inception_a(p, name, x):
+    b1 = _basic_conv(p, f"{name}.branch1x1", x)
+    b5 = _basic_conv(p, f"{name}.branch5x5_1", x)
+    b5 = _basic_conv(p, f"{name}.branch5x5_2", b5)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_1", x)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_2", bd)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_3", bd)
+    bp = _avg_pool_3x3_same_no_pad(x)
+    bp = _basic_conv(p, f"{name}.branch_pool", bp)
+    return jnp.concatenate([b1, b5, bd, bp], axis=-1)
+
+
+def _inception_b(p, name, x):
+    b3 = _basic_conv(p, f"{name}.branch3x3", x, stride=2, padding="VALID")
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_1", x)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_2", bd)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_3", bd, stride=2,
+                     padding="VALID")
+    bp = _max_pool_3x3_s2(x)
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+def _inception_c(p, name, x):
+    b1 = _basic_conv(p, f"{name}.branch1x1", x)
+    b7 = _basic_conv(p, f"{name}.branch7x7_1", x)
+    b7 = _basic_conv(p, f"{name}.branch7x7_2", b7)
+    b7 = _basic_conv(p, f"{name}.branch7x7_3", b7)
+    bd = _basic_conv(p, f"{name}.branch7x7dbl_1", x)
+    bd = _basic_conv(p, f"{name}.branch7x7dbl_2", bd)
+    bd = _basic_conv(p, f"{name}.branch7x7dbl_3", bd)
+    bd = _basic_conv(p, f"{name}.branch7x7dbl_4", bd)
+    bd = _basic_conv(p, f"{name}.branch7x7dbl_5", bd)
+    bp = _avg_pool_3x3_same_no_pad(x)
+    bp = _basic_conv(p, f"{name}.branch_pool", bp)
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _inception_d(p, name, x):
+    b3 = _basic_conv(p, f"{name}.branch3x3_1", x)
+    b3 = _basic_conv(p, f"{name}.branch3x3_2", b3, stride=2, padding="VALID")
+    b7 = _basic_conv(p, f"{name}.branch7x7x3_1", x)
+    b7 = _basic_conv(p, f"{name}.branch7x7x3_2", b7)
+    b7 = _basic_conv(p, f"{name}.branch7x7x3_3", b7)
+    b7 = _basic_conv(p, f"{name}.branch7x7x3_4", b7, stride=2,
+                     padding="VALID")
+    bp = _max_pool_3x3_s2(x)
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+def _inception_e(p, name, x, pool: str):
+    b1 = _basic_conv(p, f"{name}.branch1x1", x)
+    b3 = _basic_conv(p, f"{name}.branch3x3_1", x)
+    b3 = jnp.concatenate([
+        _basic_conv(p, f"{name}.branch3x3_2a", b3),
+        _basic_conv(p, f"{name}.branch3x3_2b", b3)], axis=-1)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_1", x)
+    bd = _basic_conv(p, f"{name}.branch3x3dbl_2", bd)
+    bd = jnp.concatenate([
+        _basic_conv(p, f"{name}.branch3x3dbl_3a", bd),
+        _basic_conv(p, f"{name}.branch3x3dbl_3b", bd)], axis=-1)
+    if pool == "avg":    # FIDInceptionE_1
+        bp = _avg_pool_3x3_same_no_pad(x)
+    else:                # FIDInceptionE_2: max pool (pytorch-fid quirk)
+        bp = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                   (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    bp = _basic_conv(p, f"{name}.branch_pool", bp)
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+def inception_pool3(p: Dict, x_uint8_nhwc) -> jnp.ndarray:
+    """uint8 NHWC images (any size) -> [N, 2048] pool3 features."""
+    x = jnp.asarray(x_uint8_nhwc, jnp.float32) / 255.0
+    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+    x = x * 2.0 - 1.0
+    x = _basic_conv(p, "Conv2d_1a_3x3", x, stride=2, padding="VALID")
+    x = _basic_conv(p, "Conv2d_2a_3x3", x, padding="VALID")
+    x = _basic_conv(p, "Conv2d_2b_3x3", x)
+    x = _max_pool_3x3_s2(x)
+    x = _basic_conv(p, "Conv2d_3b_1x1", x)
+    x = _basic_conv(p, "Conv2d_4a_3x3", x, padding="VALID")
+    x = _max_pool_3x3_s2(x)
+    x = _inception_a(p, "Mixed_5b", x)
+    x = _inception_a(p, "Mixed_5c", x)
+    x = _inception_a(p, "Mixed_5d", x)
+    x = _inception_b(p, "Mixed_6a", x)
+    x = _inception_c(p, "Mixed_6b", x)
+    x = _inception_c(p, "Mixed_6c", x)
+    x = _inception_c(p, "Mixed_6d", x)
+    x = _inception_c(p, "Mixed_6e", x)
+    x = _inception_d(p, "Mixed_7a", x)
+    x = _inception_e(p, "Mixed_7b", x, pool="avg")
+    x = _inception_e(p, "Mixed_7c", x, pool="max")
+    return jnp.mean(x, axis=(1, 2))
+
+
+def convert_inception_state_dict(sd) -> Dict[str, np.ndarray]:
+    """torchvision-keyed state dict -> our weight dict (conv kernels to
+    HWIO; BN buffers as-is).  fc weights are dropped (unused for FID)."""
+    out = {}
+    for k, v in sd.items():
+        v = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                       else v)
+        if k.startswith(("fc.", "AuxLogits.")):
+            continue
+        if k.endswith(".conv.weight"):
+            out[k] = v.transpose(2, 3, 1, 0)
+        else:
+            out[k] = v
+    return out
+
+
+def load_inception_feature_fn(path: str):
+    """Load converted weights; returns ``features(images_uint8) -> [N,2048]``
+    (numpy in / numpy out, jitted underneath)."""
+    from ..utils import load_checkpoint
+    raw = load_checkpoint(path)
+    params = {k: jnp.asarray(v) for k, v in raw.items()}
+    fn = jax.jit(lambda imgs: inception_pool3(params, imgs))
+
+    def features(images_uint8: np.ndarray) -> np.ndarray:
+        return np.asarray(fn(jnp.asarray(images_uint8)))
+
+    return features

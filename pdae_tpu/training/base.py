@@ -27,7 +27,7 @@ import jax
 import numpy as np
 
 from ..data import Loader, build_dataset, prefetch_to_device
-from ..parallel import data_sharding, is_primary, make_mesh
+from ..parallel import data_sharding, is_primary, make_mesh, replicated
 from ..utils import (load_checkpoint, load_yaml, save_checkpoint, save_yaml,
                      snapshot_path)
 from ..utils.config import overlay_eval_dataset_config
@@ -108,9 +108,16 @@ class BaseTrainer:
 
         self.mesh = make_mesh()
         self.batch_sharding = data_sharding(self.mesh)
+        self.replicated = replicated(self.mesh)
+        # optional jax.profiler trace dir (reference uses wall-clock phase
+        # meters only, SURVEY.md §5; we add real tracing)
+        self.profile_dir = self.runner_config.get("profile_dir")
 
         self._build_datasets()
         self._build()          # subclass: models/state/step_fn
+        # replicate train state over the mesh so GSPMD sees replicated
+        # params (not device-0-pinned) against data-sharded batches
+        self.state = jax.device_put(self.state, self.replicated)
 
         self.start_step = 0
         latest = os.path.join(run_path, "checkpoints", "latest.ckpt")
@@ -144,6 +151,20 @@ class BaseTrainer:
                                   sharding=self.batch_sharding)
 
     # -- subclass hooks -------------------------------------------------- #
+
+    def _compute_dtype(self):
+        """Model compute dtype: bf16 on TPU by default (replaces the
+        reference's AMP/GradScaler machinery -- no loss scaling needed),
+        fp32 elsewhere; override with runner_config.compute_dtype or the
+        reference's optimizer_config.enable_amp."""
+        import jax.numpy as jnp
+        name = self.runner_config.get("compute_dtype")
+        if name is None:
+            if self.config.get("optimizer_config", {}).get("enable_amp"):
+                return jnp.bfloat16
+            return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
     def _build(self):
         raise NotImplementedError
@@ -184,6 +205,8 @@ class BaseTrainer:
         losses = collections.defaultdict(list)
         it = self._batch_iterator()
         step = self.start_step
+        if self.profile_dir and is_primary():
+            jax.profiler.start_trace(self.profile_dir)
         t_end = time.perf_counter()
         while max_steps is None or step < max_steps:
             step += 1
@@ -217,6 +240,8 @@ class BaseTrainer:
                 self.save(step, snapshot=True)
             if step % eval_every == 0:
                 self.evaluate(step)
+        if self.profile_dir and is_primary():
+            jax.profiler.stop_trace()
         # final save so short runs always leave a checkpoint
         self.save(step)
         return step

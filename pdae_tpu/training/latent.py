@@ -46,10 +46,11 @@ class LatentDiffusionTrainer(BaseTrainer):
         ddpm_model_cfg = resolve_model_config(
             self.config.get("trained_ddpm_config",
                             pdae_cfg.get("trained_ddpm_config")))
+        dtype = self._compute_dtype()
         self.encoder = build_encoder(pdae_cfg["encoder_config"],
-                                     image_size=size)
+                                     image_size=size, dtype=dtype)
         self.decoder = build_decoder(pdae_cfg["decoder_config"],
-                                     ddpm_model_cfg)
+                                     ddpm_model_cfg, dtype=dtype)
 
         x = jnp.zeros((1, size, size, chans))
         t = jnp.zeros((1,), jnp.int32)
@@ -65,7 +66,7 @@ class LatentDiffusionTrainer(BaseTrainer):
 
         lat_cfg = self.config["latent_denoise_fn_config"]
         self.latent_dim = int(lat_cfg["input_channel"])
-        self.model = build_latent_denoise_fn(lat_cfg)
+        self.model = build_latent_denoise_fn(lat_cfg, dtype=dtype)
         zz = jnp.zeros((1, self.latent_dim))
         params = jax.jit(self.model.init)(
             init_key(self.seed + 2), zz, t)["params"]

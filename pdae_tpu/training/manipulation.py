@@ -44,10 +44,11 @@ class ManipulationTrainer(BaseTrainer):
         ddpm_model_cfg = resolve_model_config(
             self.config.get("trained_ddpm_config",
                             pdae_cfg.get("trained_ddpm_config")))
+        dtype = self._compute_dtype()
         self.encoder = build_encoder(pdae_cfg["encoder_config"],
-                                     image_size=size)
+                                     image_size=size, dtype=dtype)
         self.decoder = build_decoder(pdae_cfg["decoder_config"],
-                                     ddpm_model_cfg)
+                                     ddpm_model_cfg, dtype=dtype)
 
         x = jnp.zeros((1, size, size, chans))
         t = jnp.zeros((1,), jnp.int32)

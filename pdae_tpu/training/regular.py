@@ -32,7 +32,7 @@ class RegularDiffusionTrainer(BaseTrainer):
     def _build(self):
         self.gd = GaussianDiffusion(self.config["diffusion_config"])
         dn_cfg = self.config["denoise_fn_config"]
-        self.model = build_denoise_fn(dn_cfg)
+        self.model = build_denoise_fn(dn_cfg, dtype=self._compute_dtype())
         ds_cfg = self.config["train_dataset_config"]
         size = int(ds_cfg["image_size"])
         chans = int(ds_cfg["image_channel"])

@@ -47,10 +47,11 @@ class RepresentationLearningTrainer(BaseTrainer):
         self.sample_shape = (size, size, chans)
 
         ddpm_model_cfg = resolve_model_config(self.config["trained_ddpm_config"])
+        dtype = self._compute_dtype()
         self.encoder = build_encoder(self.config["encoder_config"],
-                                     image_size=size)
+                                     image_size=size, dtype=dtype)
         self.decoder = build_decoder(self.config["decoder_config"],
-                                     ddpm_model_cfg)
+                                     ddpm_model_cfg, dtype=dtype)
 
         x = jnp.zeros((1, size, size, chans))
         t = jnp.zeros((1,), jnp.int32)

@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--encoder-stages", type=int, default=4, choices=(4, 5))
     p.add_argument("--stats", action="store_true",
                    help="input is an inferred-latents {mean,std} file")
+    p.add_argument("--inception", action="store_true",
+                   help="input is the TF-FID InceptionV3 state dict "
+                        "(pt_inception-2015-12-05)")
     args = p.parse_args(argv)
 
     import torch
@@ -34,7 +37,11 @@ def main(argv=None):
     from pdae_tpu.utils.torch_convert import convert_reference_checkpoint
 
     data = torch.load(args.input, map_location="cpu", weights_only=False)
-    if args.stats:
+    if args.inception:
+        from pdae_tpu.metrics.inception import convert_inception_state_dict
+        sd = data.state_dict() if hasattr(data, "state_dict") else data
+        out = convert_inception_state_dict(sd)
+    elif args.stats:
         out = {"mean": np.asarray(data["mean"].numpy(), np.float32),
                "std": np.asarray(data["std"].numpy(), np.float32)}
     else:
