@@ -1,10 +1,10 @@
 from .datasets import (BEDROOM, CELEBA64, CELEBAHQ, FFHQ, HORSE, MNIST,
                        REGISTRY, SYNTHETIC, build_dataset)
-from .lmdb_store import Reader, open_lmdb, write_lmdb
+from .lmdb_store import NativeReader, Reader, open_lmdb, write_lmdb
 from .pipeline import Loader, prefetch_to_device
 
 __all__ = [
     "BEDROOM", "CELEBA64", "CELEBAHQ", "FFHQ", "HORSE", "MNIST", "REGISTRY",
-    "SYNTHETIC", "build_dataset", "Reader", "open_lmdb", "write_lmdb",
+    "SYNTHETIC", "build_dataset", "NativeReader", "Reader", "open_lmdb", "write_lmdb",
     "Loader", "prefetch_to_device",
 ]

@@ -25,7 +25,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .lmdb_store import Reader
+from .lmdb_store import Reader, open_lmdb
 
 
 def _resize_pil(img, size: int):
@@ -69,7 +69,7 @@ class LMDBImageDataset:
         # lazy per-worker open, like the reference's per-worker txn
         # (dataset/celeba64.py:56-57)
         if self._reader is None:
-            self._reader = Reader(self.data_path)
+            self._reader = open_lmdb(self.data_path)
         return self._reader
 
     def __len__(self) -> int:

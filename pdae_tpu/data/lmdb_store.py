@@ -364,6 +364,97 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
     return file_path
 
 
-def open_lmdb(path: str) -> Reader:
-    """Reference-compatible entry point (``utils/utils.py:70-79``)."""
+# ---------------------------------------------------------------------- #
+# native (C++) reader binding
+# ---------------------------------------------------------------------- #
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Load (building on demand) the C++ reader; None if unavailable."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+    so = os.path.join(native_dir, "liblmdb_reader.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.pdae_lmdb_open.restype = ctypes.c_void_p
+        lib.pdae_lmdb_open.argtypes = [ctypes.c_char_p]
+        lib.pdae_lmdb_entries.restype = ctypes.c_uint64
+        lib.pdae_lmdb_entries.argtypes = [ctypes.c_void_p]
+        lib.pdae_lmdb_get.restype = ctypes.c_int
+        lib.pdae_lmdb_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t)]
+        lib.pdae_lmdb_close.argtypes = [ctypes.c_void_p]
+        _NATIVE_LIB = lib
+    except Exception:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+class NativeReader:
+    """C++ mmap reader (native/lmdb_reader.cpp) behind the Reader API."""
+
+    def __init__(self, path: str):
+        import ctypes
+        if os.path.isdir(path):
+            path = os.path.join(path, "data.mdb")
+        lib = _native_lib()
+        if lib is None:
+            raise LMDBError("native reader unavailable")
+        self._lib = lib
+        self._h = lib.pdae_lmdb_open(path.encode())
+        if not self._h:
+            raise LMDBError(f"native open failed: {path}")
+        self._ctypes = ctypes
+
+    def get(self, key: bytes) -> Optional[bytes]:
+        ct = self._ctypes
+        val = ct.c_void_p()
+        vlen = ct.c_size_t()
+        rc = self._lib.pdae_lmdb_get(self._h, key, len(key),
+                                     ct.byref(val), ct.byref(vlen))
+        if rc == -1:
+            return None
+        if rc != 0:
+            raise LMDBError(f"native get failed rc={rc}")
+        return ct.string_at(val, vlen.value)
+
+    def __len__(self) -> int:
+        return int(self._lib.pdae_lmdb_entries(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.pdae_lmdb_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_lmdb(path: str, prefer_native: bool = True):
+    """Reference-compatible entry point (``utils/utils.py:70-79``); uses the
+    C++ reader when buildable, the pure-python parser otherwise."""
+    if prefer_native and _native_lib() is not None:
+        try:
+            return NativeReader(path)
+        except LMDBError:
+            pass
     return Reader(path)

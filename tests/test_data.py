@@ -156,3 +156,23 @@ def test_build_dataset_registry():
     ds = build_dataset({"name": "SYNTHETIC", "image_size": 16,
                         "image_channel": 3, "length": 8})
     assert isinstance(ds, SYNTHETIC)
+
+
+def test_native_reader_matches_python(tmp_path):
+    """C++ mmap reader vs pure-python parser on the same environment."""
+    from pdae_tpu.data.lmdb_store import NativeReader, _native_lib
+    if _native_lib() is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+    items = {f"k{i:05d}".encode(): (f"v{i}" * (i % 50 + 1)).encode()
+             for i in range(3000)}
+    items[b"big"] = b"\xab" * 50000   # overflow page
+    path = str(tmp_path / "native")
+    write_lmdb(path, items)
+    py = Reader(path)
+    nat = NativeReader(path)
+    assert len(nat) == len(py) == len(items)
+    for k in list(items)[::97] + [b"big"]:
+        assert nat.get(k) == py.get(k) == items[k]
+    assert nat.get(b"missing") is None
+    nat.close()
