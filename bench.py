@@ -33,6 +33,9 @@ def main():
     p.add_argument("--platform", default=None)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the PDAE training step instead of "
+                        "DDIM sampling")
     args = p.parse_args()
 
     if args.platform:
@@ -71,6 +74,12 @@ def main():
 
     gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
     dds = gd.ddim_schedule(f"ddim{steps}")
+
+    if args.train:
+        _bench_train(jax, jnp, np, model, params, gd, batch, size,
+                     geometry, latent_dim, reps=1 if args.quick else 5,
+                     dtype_name=args.dtype)
+        return
 
     def decoder_with(p):
         return lambda xx, tt, zz: model.apply({"params": p}, xx, tt, zz)
@@ -140,6 +149,72 @@ def main():
         "image_size": size,
         "dtype": args.dtype,
         "host_loop_imgs_per_sec": round(host_imgs_per_sec, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+def _bench_train(jax, jnp, np, model, params, gd, batch, size, geometry,
+                 latent_dim, reps, dtype_name):
+    """PDAE representation-learning train step throughput (fwd+bwd+adam+EMA
+    over the trainable {encoder, shift} subtree)."""
+    import optax
+    from pdae_tpu.models import encoder_for_resolution
+    from pdae_tpu.training.partition import merge_params, split_shift_unet
+    from pdae_tpu.training.state import TrainState, ema_update, make_optimizer
+    from pdae_tpu.utils import init_key
+
+    encoder = encoder_for_resolution(size, latent_dim) if size in (64, 128) \
+        else None
+    if encoder is None:
+        from pdae_tpu.models.encoder import SemanticEncoder
+        encoder = SemanticEncoder(latent_dim, channels=(8, 16),
+                                  attn_after_stage=2)
+    x = jnp.zeros((batch, size, size, geometry["input_channel"]))
+    enc_params = jax.jit(encoder.init)(init_key(2), x)["params"]
+    shift_params, frozen = split_shift_unet(params)
+    tx = make_optimizer({"lr": 1e-4})
+    state = TrainState.create({"encoder": enc_params, "shift": shift_params},
+                              tx)
+
+    def train_step(state, frozen, x_0, rng):
+        def loss_fn(p):
+            out = gd.representation_learning_train_one_batch(
+                rng,
+                lambda xx: encoder.apply({"params": p["encoder"]}, xx),
+                lambda xx, tt, zz: model.apply(
+                    {"params": merge_params(frozen, p["shift"])}, xx, tt, zz),
+                x_0)
+            return out["prediction_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+        ema = ema_update(state.ema_params, new_params, 0.9999)
+        return state.replace(step=state.step + 1, params=new_params,
+                             ema_params=ema, opt_state=opt_state), loss
+
+    step = jax.jit(train_step, donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+    x_0 = jax.random.normal(key, x.shape)
+    state, loss = step(state, frozen, x_0, key)
+    jax.block_until_ready(loss)
+    n = 10 * reps
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, frozen, x_0,
+                           jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n
+    result = {
+        "metric": f"pdae_train_steps_per_sec_{size}px_b{batch}",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 1.0,
+        "imgs_per_sec": round(batch / dt, 1),
+        "batch": batch,
+        "image_size": size,
+        "dtype": dtype_name,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

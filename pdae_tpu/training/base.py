@@ -20,6 +20,7 @@ from __future__ import annotations
 import collections
 import json
 import os
+import signal
 import time
 from typing import Any, Dict, Iterator, Optional
 
@@ -207,8 +208,22 @@ class BaseTrainer:
         step = self.start_step
         if self.profile_dir and is_primary():
             jax.profiler.start_trace(self.profile_dir)
+
+        # preemption safety: checkpoint before dying on SIGTERM/SIGINT
+        # (the reference's only recovery is manual --resume; SURVEY.md §5)
+        stop = {"flag": False}
+
+        def _graceful(signum, frame):
+            stop["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _graceful)
+            except ValueError:
+                pass
         t_end = time.perf_counter()
-        while max_steps is None or step < max_steps:
+        while (max_steps is None or step < max_steps) and not stop["flag"]:
             step += 1
             t0 = time.perf_counter()
             batch = next(it)
@@ -242,6 +257,8 @@ class BaseTrainer:
                 self.evaluate(step)
         if self.profile_dir and is_primary():
             jax.profiler.stop_trace()
-        # final save so short runs always leave a checkpoint
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
+        # final save: short runs and preempted runs always leave a checkpoint
         self.save(step)
         return step

@@ -258,6 +258,39 @@ def convert_reference_checkpoint(data: Dict, num_encoder_stages: int = 4) -> Dic
     return out
 
 
+_LPIPS_CONV_IDX = {"0": 0, "3": 1, "6": 2, "8": 3, "10": 4}
+
+
+def convert_lpips_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Torch ``lpips`` package (AlexNet) state dict -> our flat param dict
+    (see pdae_tpu/metrics/lpips.py).  Accepts both the lpips wrapper keys
+    (``net.sliceK.<idx>.weight`` + ``linK.model.1.weight``) and a raw
+    torchvision alexnet ``features.<idx>.*`` dict."""
+    out: Dict = {}
+    for key, value in sd.items():
+        v = np.asarray(value)
+        if key.startswith("scaling_layer."):
+            continue  # we hardcode the standard shift/scale buffers
+        if ".model.1.weight" in key and key.startswith("lin"):
+            i = int(key[len("lin"):].split(".")[0])
+            out[f"lin{i}_w"] = v.reshape(-1)          # [1,C,1,1] -> [C]
+            continue
+        idx = None
+        if key.startswith("net.slice"):
+            idx = key.split(".")[2]
+        elif key.startswith("features."):
+            idx = key.split(".")[1]
+        if idx is not None and idx in _LPIPS_CONV_IDX:
+            i = _LPIPS_CONV_IDX[idx]
+            if key.endswith(".weight"):
+                out[f"conv{i}_w"] = v.transpose(2, 3, 1, 0)
+            else:
+                out[f"conv{i}_b"] = v
+            continue
+        # anything else (relu/pool placeholders) has no params
+    return out
+
+
 def _numpy_sd(sd) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                           else v) for k, v in sd.items()}

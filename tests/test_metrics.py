@@ -122,3 +122,29 @@ def test_lpips_zero_for_identical_random_weights():
     d_diff = np.asarray(lpips_distance(params, x, y))
     assert np.all(d_same < 1e-6)
     assert np.all(d_diff > 1e-4)
+
+
+def test_lpips_converter_formats():
+    from pdae_tpu.utils.torch_convert import convert_lpips_state_dict
+    from pdae_tpu.metrics.lpips import _ALEX, _CHANNELS
+    # lpips-package style keys
+    sd = {}
+    conv_idx = {0: "net.slice1.0", 1: "net.slice2.3", 2: "net.slice3.6",
+                3: "net.slice4.8", 4: "net.slice5.10"}
+    in_ch = 3
+    for i, (out, k, s, p) in enumerate(_ALEX):
+        sd[f"{conv_idx[i]}.weight"] = np.zeros((out, in_ch, k, k), np.float32)
+        sd[f"{conv_idx[i]}.bias"] = np.zeros((out,), np.float32)
+        in_ch = out
+    for i, c in enumerate(_CHANNELS):
+        sd[f"lin{i}.model.1.weight"] = np.ones((1, c, 1, 1), np.float32)
+    sd["scaling_layer.shift"] = np.zeros((1, 3, 1, 1), np.float32)
+    out = convert_lpips_state_dict(sd)
+    assert out["conv0_w"].shape == (11, 11, 3, 64)
+    assert out["lin4_w"].shape == (256,)
+    assert "scaling_layer.shift" not in out
+    # raw torchvision alexnet style
+    sd2 = {"features.0.weight": np.zeros((64, 3, 11, 11), np.float32),
+           "features.0.bias": np.zeros((64,), np.float32)}
+    out2 = convert_lpips_state_dict(sd2)
+    assert out2["conv0_w"].shape == (11, 11, 3, 64)
