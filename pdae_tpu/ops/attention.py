@@ -86,11 +86,44 @@ def _pallas_attention(q, k, v, interpret: bool = False):
     return out.reshape(b, h, t, d)
 
 
+@jax.custom_vjp
+def _attention_core(q, k, v):
+    """Pallas forward; jnp backward (standard attention VJP) so training
+    differentiates through the fused kernel."""
+    return _pallas_attention(q, k, v)
+
+
+def _attention_core_fwd(q, k, v):
+    return _pallas_attention(q, k, v), (q, k, v)
+
+
+def _attention_core_bwd(res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    s2 = 1.0 / math.sqrt(d)          # (1/d^0.25)^2 applied to q AND k
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * s2
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gv = g.astype(jnp.float32)
+    dv = jnp.einsum("bhts,bhtd->bhsd", w, gv)
+    dw = jnp.einsum("bhtd,bhsd->bhts", gv, v.astype(jnp.float32))
+    dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhts,bhsd->bhtd", dl, k.astype(jnp.float32)) * s2
+    dk = jnp.einsum("bhts,bhtd->bhsd", dl, q.astype(jnp.float32)) * s2
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
+
+
 def fused_qkv_attention(q, k, v, interpret: bool = False):
-    """[B, H, T, D] multi-head attention, Pallas on TPU, jnp elsewhere."""
+    """[B, H, T, D] multi-head attention, Pallas on TPU, jnp elsewhere.
+    Differentiable: custom VJP with an XLA backward pass."""
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(math.sqrt(d))
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu or interpret) and _supported(q):
+    if interpret and _supported(q):
         return _pallas_attention(q, k, v, interpret=interpret)
+    if on_tpu and _supported(q):
+        return _attention_core(q, k, v)
     return reference_attention(q, k, v, scale)

@@ -48,3 +48,33 @@ def test_unet_attention_same_with_and_without_pallas():
     # here just ensure the flagged path doesn't alter shapes/values on CPU
     b = blk.apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_custom_vjp_matches_reference_grad():
+    """The custom backward (used when the Pallas forward is active) must
+    match autodiff through the jnp reference path."""
+    import jax
+    from pdae_tpu.ops import attention as A
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, 2, 32, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 2, 32, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 2, 32, 16).astype(np.float32))
+    scale = 1.0 / np.sqrt(np.sqrt(16))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(A.reference_attention(q, k, v, scale)))
+
+    # drive the custom_vjp backward with a pallas-interpret forward
+    orig = A._pallas_attention
+    A._pallas_attention = lambda q, k, v, interpret=False: orig(
+        q, k, v, interpret=True)
+    try:
+        def loss_core(q, k, v):
+            return jnp.sum(jnp.sin(A._attention_core(q, k, v)))
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        g_core = jax.grad(loss_core, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A._pallas_attention = orig
+    for a, b in zip(g_core, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
