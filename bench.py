@@ -28,7 +28,7 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="tiny model + few steps (CI smoke)")
     p.add_argument("--image_size", type=int, default=64)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--platform", default=None)
     p.add_argument("--dtype", default="bfloat16",

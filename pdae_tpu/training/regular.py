@@ -58,6 +58,9 @@ class RegularDiffusionTrainer(BaseTrainer):
         def apply_fn(params, x, t, cond):
             return model.apply({"params": params}, x, t, cond)
 
+        if self.runner_config.get("remat"):
+            apply_fn = jax.checkpoint(apply_fn)
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, batch):
             rng = step_key(self._base_rng, state.step)

@@ -89,6 +89,11 @@ class RepresentationLearningTrainer(BaseTrainer):
             full = merge_params(frozen, shift_p)
             return decoder.apply({"params": full}, x_t, t, z)
 
+        # rematerialization: trade ~33% extra fwd FLOPs for activation
+        # memory (128px models at large batch); runner_config.remat
+        if self.runner_config.get("remat"):
+            dec_apply = jax.checkpoint(dec_apply)
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, frozen, batch):
             rng = step_key(self._base_rng, state.step)
