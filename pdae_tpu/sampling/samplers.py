@@ -20,7 +20,8 @@ import numpy as np
 
 from ..diffusion import ddim as ddim_lib
 from ..metrics import MSEMetric, SSIMMetric
-from ..parallel import dispatch_num_samples_for_process, is_primary
+from ..parallel import (dispatch_num_samples_for_process, is_primary,
+                        process_shard_indices)
 from ..utils import save_checkpoint, save_image_grid, to_uint8
 from ..utils.image import make_grid, paste_rows
 from .context import SamplerContext
@@ -139,9 +140,12 @@ class AutoencodingEval(BaseSampler):
 
         n = len(ds) if max_samples is None else min(int(max_samples), len(ds))
         collate = type(ds).collate_fn
-        for start in range(0, n, batch_size):
-            idxs = range(start, min(start + batch_size, n))
-            batch = collate([ds[i] for i in idxs])
+        # shard the evaluation across processes (reference uses a
+        # DistributedSampler, autoencoding_eval.py:26-43)
+        my_idx = process_shard_indices(n)
+        for start in range(0, len(my_idx), batch_size):
+            idxs = my_idx[start:start + batch_size]
+            batch = collate([ds[int(i)] for i in idxs])
             x_0 = jnp.asarray(batch["x_0"])
             recon = np.asarray(fn(ctx.enc_params, ctx.dec_params, x_0))
             # reference compares on [0,1] (autoencoding_eval.py:84-88)
@@ -176,12 +180,15 @@ class InferLatents(BaseSampler):
         max_samples = self.config.get("max_samples")
         n = len(ds) if max_samples is None else min(int(max_samples), len(ds))
         collate = type(ds).collate_fn
+        my_idx = process_shard_indices(n, pad_to_even=False)
         zs = []
-        for start in range(0, n, batch_size):
-            batch = collate([ds[i] for i in
-                             range(start, min(start + batch_size, n))])
+        for start in range(0, len(my_idx), batch_size):
+            batch = collate([ds[int(i)] for i in
+                             my_idx[start:start + batch_size]])
             zs.append(np.asarray(encoder(ctx.enc_params,
                                          jnp.asarray(batch["x_0"]))))
+        from ..parallel import gather_objects
+        zs = gather_objects(zs)
         latent = np.concatenate(zs, axis=0)
         name = self.config["dataset_config"].get(
             "name", self.config["dataset_config"].get("dataset_name"))
