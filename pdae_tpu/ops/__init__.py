@@ -5,6 +5,7 @@ kernel (models/blocks.py checks this flag); default on for TPU backends.
 """
 
 from .attention import fused_qkv_attention, reference_attention
+from .groupnorm import fused_gn_adagn_silu, reference_gn_adagn_silu
 
 _USE_PALLAS = None  # tri-state: None = auto (TPU only)
 
@@ -21,5 +22,6 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-__all__ = ["fused_qkv_attention", "reference_attention", "set_use_pallas",
-           "use_pallas"]
+__all__ = ["fused_qkv_attention", "reference_attention",
+           "fused_gn_adagn_silu", "reference_gn_adagn_silu",
+           "set_use_pallas", "use_pallas"]
