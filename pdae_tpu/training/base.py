@@ -206,6 +206,7 @@ class BaseTrainer:
         losses = collections.defaultdict(list)
         it = self._batch_iterator()
         step = self.start_step
+        last_saved = step
         if self.profile_dir and is_primary():
             jax.profiler.start_trace(self.profile_dir)
 
@@ -251,8 +252,10 @@ class BaseTrainer:
                 t_end = time.perf_counter()
             if step % save_latest == 0:
                 self.save(step)
+                last_saved = step
             if step % save_snap == 0:
                 self.save(step, snapshot=True)
+                last_saved = step
             if step % eval_every == 0:
                 self.evaluate(step)
         if self.profile_dir and is_primary():
@@ -260,5 +263,6 @@ class BaseTrainer:
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)
         # final save: short runs and preempted runs always leave a checkpoint
-        self.save(step)
+        if step != last_saved:
+            self.save(step)
         return step

@@ -67,7 +67,10 @@ class RepresentationLearningTrainer(BaseTrainer):
                 dec_params, load_ddpm_params(ckpt))
 
         shift_params, frozen_params = split_shift_unet(dec_params)
-        self.frozen_params = frozen_params   # never updated, bit-stable
+        # pin the frozen trunk on device once (numpy leaves would be
+        # re-uploaded on every step)
+        self.frozen_params = jax.device_put(
+            frozen_params, self.replicated)   # never updated, bit-stable
         trainable = {"encoder": enc_params, "shift": shift_params}
 
         self.tx = make_optimizer(self.config["optimizer_config"])
@@ -198,7 +201,7 @@ class RepresentationLearningTrainer(BaseTrainer):
         ema_dec = restore_into(full_template, raw["ema_decoder"])
         shift, frozen = split_shift_unet(dec)
         ema_shift, _ = split_shift_unet(ema_dec)
-        self.frozen_params = frozen
+        self.frozen_params = jax.device_put(frozen, self.replicated)
         opt = restore_into(self.state.opt_state, raw["optimizer"])
         self.state = self.state.replace(
             step=jnp.asarray(int(raw["step"]), jnp.int32),
