@@ -42,6 +42,9 @@ TINY_CONFIG = {
 def test_train_loss_decreases_and_ckpt_roundtrip(tmp_path):
     run = str(tmp_path / "run")
     tr = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run)
+    # conftest forces an 8-device CPU platform: the whole suite exercises
+    # true 8-way data parallelism (batch sharded, params replicated)
+    assert len(tr.mesh.devices.ravel()) == 8
     p0 = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
     tr.train(max_steps=6)
     assert int(tr.state.step) == 6
