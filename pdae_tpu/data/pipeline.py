@@ -63,6 +63,11 @@ class Loader:
         idx = self._epoch_indices(epoch)
         nb = len(idx) // self.batch_size if self.drop_last else -(
             -len(idx) // self.batch_size)
+        if nb == 0:
+            raise ValueError(
+                f"per-process shard ({len(idx)} samples) smaller than "
+                f"batch_size ({self.batch_size}); reduce batch_size / "
+                f"num_iterations or grow the dataset")
         def fetch(i):
             item_rng = np.random.default_rng(
                 [self._augment_seed, self.rank, epoch, int(i)])
@@ -92,13 +97,22 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2,
                        sharding=None) -> Iterator[dict]:
     """Move batches to device ahead of consumption (double buffering).
 
-    With a ``NamedSharding`` the batch lands already sharded over the mesh's
-    data axis; otherwise it goes to the default device.
+    With a ``NamedSharding`` the batch lands sharded over the mesh's data
+    axis.  Multi-host: each process's local batch becomes its addressable
+    shard of a global array of shape [num_processes * local_batch, ...]
+    (``make_array_from_process_local_data``), preserving the reference's
+    per-process batch-size semantics (global batch = B x world).
     """
     queue = collections.deque()
+    multihost = jax.process_count() > 1
 
     def put(batch):
         if sharding is not None:
+            if multihost:
+                from jax import make_array_from_process_local_data
+                return jax.tree_util.tree_map(
+                    lambda x: make_array_from_process_local_data(
+                        sharding, np.asarray(x)), batch)
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)

@@ -177,10 +177,12 @@ def load_inception_feature_fn(path: str):
     (numpy in / numpy out, jitted underneath)."""
     from ..utils import load_checkpoint
     raw = load_checkpoint(path)
-    params = {k: jnp.asarray(v) for k, v in raw.items()}
-    fn = jax.jit(lambda imgs: inception_pool3(params, imgs))
+    # params are jit ARGUMENTS, not closure constants (CLAUDE.md: closures
+    # bake ~95MB of weights into the HLO; axon remote-compile rejects it)
+    params = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
+    fn = jax.jit(inception_pool3)
 
     def features(images_uint8: np.ndarray) -> np.ndarray:
-        return np.asarray(fn(jnp.asarray(images_uint8)))
+        return np.asarray(fn(params, jnp.asarray(images_uint8)))
 
     return features

@@ -101,8 +101,9 @@ class LPIPSMetric(BaseMetric):
 
     def __init__(self, weights_path: str):
         super().__init__()
-        self.params = load_params(weights_path)
-        self._fn = jax.jit(lambda a, b: lpips_distance(self.params, a, b))
+        # params as jit args, not closure constants (see CLAUDE.md)
+        self.params = jax.device_put(load_params(weights_path))
+        self._fn = jax.jit(lpips_distance)
 
     def process(self, images: np.ndarray, gts: np.ndarray):
         """images/gts in [0,1] (reference normalizes to [0,1] then lpips
@@ -110,5 +111,5 @@ class LPIPSMetric(BaseMetric):
         normalize=True)."""
         a = jnp.asarray(images) * 2.0 - 1.0
         b = jnp.asarray(gts) * 2.0 - 1.0
-        vals = np.asarray(self._fn(a, b))
+        vals = np.asarray(self._fn(self.params, a, b))
         self.results.extend(float(v) for v in vals)

@@ -77,14 +77,26 @@ def process_shard_indices(n: int, rank: Optional[int] = None,
 
 def gather_objects(local_list):
     """All-gather a list of host objects across processes
-    (reference ``all_gather_object``, base_trainer.py:156-159)."""
+    (reference ``all_gather_object``, base_trainer.py:156-159).
+
+    Works with ragged/unequal per-process contents: objects are pickled
+    into a padded uint8 buffer (process_allgather needs equal shapes),
+    then unpickled per process.
+    """
     if jax.process_count() == 1:
         return list(local_list)
+    import pickle
     from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(local_list)
+    payload = np.frombuffer(pickle.dumps(list(local_list)), np.uint8)
+    n = np.asarray([payload.size])
+    sizes = multihost_utils.process_allgather(n).reshape(-1)
+    max_size = int(sizes.max())
+    padded = np.zeros((max_size,), np.uint8)
+    padded[:payload.size] = payload
+    all_payloads = multihost_utils.process_allgather(padded)
     out = []
-    for part in gathered:
-        out.extend(part)
+    for i in range(all_payloads.shape[0]):
+        out.extend(pickle.loads(all_payloads[i, :int(sizes[i])].tobytes()))
     return out
 
 

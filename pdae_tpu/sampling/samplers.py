@@ -216,7 +216,13 @@ class GapMeasure(BaseSampler):
             lambda ep, dp, k, x: gd.representation_learning_gap_measure(
                 k, self._enc(ep), self._dec(dp), x))
         gaps, ae_gaps = [], []
-        for start in range(0, min(total, len(ds)), batch_size):
+        total_eff = min(total, len(ds))
+        n_full = (total_eff // batch_size) * batch_size
+        if n_full < total_eff:
+            print(f"gap_measure: using {n_full} of {total_eff} samples "
+                  f"(full batches of {batch_size})")
+        n_full = max(n_full, batch_size)
+        for start in range(0, n_full, batch_size):
             batch = collate([ds[i % len(ds)] for i in
                              range(start, start + batch_size)])
             g, ag = fn(ctx.enc_params, ctx.dec_params, self.key(start),
@@ -407,15 +413,22 @@ class UnconditionalSample(BaseSampler):
         done = 0
         while done < n:
             b = min(batch, n - done)
-            k1, k2 = jax.random.split(self.key(done))
+            k1, k2 = jax.random.split(jax.random.fold_in(
+                self.key(done), jax.process_index()))
             x_T = jax.random.normal(k2, (b, size, size, ch))
             imgs.append(to_uint8(np.asarray(
                 fn(ctx.lat_params, ctx.dec_params, k1, x_T))))
             done += b
-        images = np.concatenate(imgs)
+        # gather every process's images; only the primary writes the grid
+        # (reference gathers to rank 0, unconditional_sample.py:69-75)
+        from ..parallel import gather_objects
+        all_imgs = gather_objects(imgs)
+        images = (np.concatenate(all_imgs) if all_imgs
+                  else np.zeros((0, size, size, ch), np.uint8))
 
         out = ctx.output_path("unconditional_sample_result.png")
-        save_image_grid(images, out)
+        if is_primary() and len(images):
+            save_image_grid(images, out)
 
         fid_cfg = self.config.get("fid")
         if fid_cfg:

@@ -101,9 +101,12 @@ class LatentDiffusionTrainer(BaseTrainer):
             rng = step_key(self._base_rng, state.step)
 
             def loss_fn(params, x_0, key):
+                key, drop_key = jax.random.split(key)
                 out = gd.latent_diffusion_train_one_batch(
                     key,
-                    lambda zt, tt: model.apply({"params": params}, zt, tt),
+                    lambda zt, tt: model.apply(
+                        {"params": params}, zt, tt, deterministic=False,
+                        rngs={"dropout": drop_key}),
                     lambda xx: enc_apply(enc_p, xx), x_0, mean, std)
                 return out["prediction_loss"]
 
@@ -139,10 +142,9 @@ class LatentDiffusionTrainer(BaseTrainer):
 
         self._train_step = train_step
 
-        @partial(jax.jit, static_argnums=(3, 4))
-        def sample_fn(ema_params, dec_p, x_T, latent_ddim_style,
+        @partial(jax.jit, static_argnums=(4, 5))
+        def sample_fn(ema_params, dec_p, key, x_T, latent_ddim_style,
                       decoder_ddim_style):
-            key = jax.random.fold_in(self._base_rng, 12345)
             return gd.latent_diffusion_sample(
                 key, latent_ddim_style, decoder_ddim_style,
                 lambda zt, tt: model.apply({"params": ema_params}, zt, tt),
@@ -159,9 +161,10 @@ class LatentDiffusionTrainer(BaseTrainer):
         n = int(self.dataloader_config.get("eval", {})
                 .get("num_generations", 36))
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
-        x_T = jax.random.normal(key, (n,) + self.sample_shape)
+        zkey, xkey = jax.random.split(key)
+        x_T = jax.random.normal(xkey, (n,) + self.sample_shape)
         imgs = np.asarray(self._sample_fn(self.state.ema_params,
-                                          self.decoder_params, x_T,
+                                          self.decoder_params, zkey, x_T,
                                           latent_ddim_style,
                                           decoder_ddim_style))
         grid = to_uint8(imgs)

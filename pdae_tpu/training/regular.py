@@ -66,8 +66,12 @@ class RegularDiffusionTrainer(BaseTrainer):
             rng = step_key(self._base_rng, state.step)
 
             def loss_fn(params, x_0, cond, key):
+                key, drop_key = jax.random.split(key)
                 out = gd.regular_train_one_batch(
-                    key, lambda xx, tt, cc: apply_fn(params, xx, tt, cc),
+                    key,
+                    lambda xx, tt, cc: model.apply(
+                        {"params": params}, xx, tt, cc, deterministic=False,
+                        rngs={"dropout": drop_key}),
                     x_0, cond)
                 return out["prediction_loss"]
 

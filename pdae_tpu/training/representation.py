@@ -102,11 +102,15 @@ class RepresentationLearningTrainer(BaseTrainer):
             rng = step_key(self._base_rng, state.step)
 
             def loss_fn(params, x_0, key):
+                key, drop_key = jax.random.split(key)
+                def dec_train(xx, tt, zz):
+                    full = merge_params(frozen, params["shift"])
+                    return decoder.apply({"params": full}, xx, tt, zz,
+                                         deterministic=False,
+                                         rngs={"dropout": drop_key})
                 out = gd.representation_learning_train_one_batch(
                     key, lambda xx: enc_apply(params["encoder"], xx),
-                    lambda xx, tt, zz: dec_apply(frozen, params["shift"],
-                                                 xx, tt, zz),
-                    x_0)
+                    dec_train, x_0)
                 return out["prediction_loss"]
 
             x_0 = batch["x_0"]

@@ -65,19 +65,28 @@ def restore_into(template, raw):
     return shaped
 
 
-def merge_partial(template_params, partial_params):
+def merge_partial(template_params, partial_params, _path=""):
     """strict=False-style partial restore: overwrite the subtrees of
-    ``template_params`` present in ``partial_params``, keep the rest
+    ``template_params`` present in ``partial_params``; keys absent from the
+    template are IGNORED (torch strict=False drops unexpected keys) and a
+    dict-vs-leaf kind mismatch raises instead of silently unioning
     (reference ``load_state_dict(..., strict=False)``,
     train_representation_learning.py:241-244)."""
-    if not isinstance(partial_params, dict):
+    if not isinstance(template_params, dict):
+        if isinstance(partial_params, dict):
+            raise ValueError(
+                f"checkpoint subtree at '{_path}' is a dict but the model "
+                f"expects a leaf (structural mismatch)")
         return partial_params
+    if not isinstance(partial_params, dict):
+        raise ValueError(
+            f"checkpoint subtree at '{_path}' is a leaf but the model "
+            f"expects a dict (structural mismatch)")
     out = dict(template_params)
     for k, v in partial_params.items():
-        if k in out and isinstance(out[k], dict):
-            out[k] = merge_partial(out[k], v)
-        else:
-            out[k] = v
+        if k not in out:
+            continue  # unexpected key: dropped, like torch strict=False
+        out[k] = merge_partial(out[k], v, f"{_path}/{k}")
     return out
 
 

@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--inception", action="store_true",
                    help="input is the TF-FID InceptionV3 state dict "
                         "(pt_inception-2015-12-05)")
+    p.add_argument("--lpips", action="store_true",
+                   help="input is an lpips-package (AlexNet) or torchvision "
+                        "alexnet state dict")
     args = p.parse_args(argv)
 
     import torch
@@ -41,6 +44,12 @@ def main(argv=None):
         from pdae_tpu.metrics.inception import convert_inception_state_dict
         sd = data.state_dict() if hasattr(data, "state_dict") else data
         out = convert_inception_state_dict(sd)
+    elif args.lpips:
+        from pdae_tpu.utils.torch_convert import convert_lpips_state_dict
+        sd = data.state_dict() if hasattr(data, "state_dict") else data
+        out = convert_lpips_state_dict(
+            {k: v.numpy() if hasattr(v, "numpy") else v
+             for k, v in sd.items()})
     elif args.stats:
         out = {"mean": np.asarray(data["mean"].numpy(), np.float32),
                "std": np.asarray(data["std"].numpy(), np.float32)}
