@@ -57,9 +57,9 @@ def _supported(q) -> bool:
     if not _PALLAS_OK:
         return False
     b, h, t, d = q.shape
-    # whole [T, T] logits tile must fit VMEM comfortably; the UNet families
-    # here have T <= 4096 and D <= 256
-    return t <= 4096 and d <= 256
+    # whole [T, T] fp32 logits tile must fit VMEM (~16MB/core): t=1024 ->
+    # 4MB. The UNet families here have T <= 256 (128px at ds=8) anyway.
+    return t <= 1024 and d <= 256
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -180,3 +180,39 @@ def test_manipulation_bce_matches_closed_form():
     p = 1 / (1 + np.exp(-logits.astype(np.float64)))
     want = -(gt * np.log(p) + (1 - gt) * np.log(1 - p)).mean()
     np.testing.assert_allclose(float(out["bce_loss"]), want, rtol=1e-4)
+
+
+def test_regular_ddpm_sample_learn_sigma_split():
+    """2x-channel model output exercises the learned_range variance path
+    (gaussian_diffusion.py:223-227,148-154)."""
+    gd = GaussianDiffusion({"timesteps": 20, "betas_type": "linear"})
+
+    def denoise_learned(x, t, c=None):
+        eps = _toy_denoise_fn(x, t)
+        learned_range = jnp.zeros_like(x)  # mid of [min_var, max_var]
+        return jnp.concatenate([eps, learned_range], axis=-1)
+
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    out = gd.regular_ddpm_sample(jax.random.PRNGKey(1), denoise_learned, x_T)
+    assert out.shape == x_T.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_x_0_clip_p_sample_matches_formula():
+    gd = GaussianDiffusion({"timesteps": 100, "betas_type": "linear"})
+    x_t = 0.3 * jnp.ones((2, 4, 4, 1))
+    t = jnp.array([5, 50], jnp.int32)
+    eps = 0.1 * jnp.ones_like(x_t)
+    rng = jax.random.PRNGKey(0)
+    out = gd.x_0_clip_p_sample(rng, x_t, t, eps)
+    # manual: x0 = clip(sr*x - srm1*eps); mean = q_posterior_mean; noise added
+    s = gd.schedule
+    x0 = np.clip(np.asarray(s.sqrt_recip_alphas_cumprod)[[5, 50], None, None, None] * 0.3
+                 - np.asarray(s.sqrt_recip_alphas_cumprod_m1)[[5, 50], None, None, None] * 0.1,
+                 -1, 1)
+    mean = (np.asarray(s.x_0_posterior_mean_x_0_coef)[[5, 50], None, None, None] * x0
+            + np.asarray(s.x_0_posterior_mean_x_t_coef)[[5, 50], None, None, None] * 0.3)
+    noise = np.asarray(jax.random.normal(rng, x_t.shape))
+    lv = np.asarray(s.posterior_log_variance_clipped)[[5, 50], None, None, None]
+    want = mean + np.exp(0.5 * lv) * noise
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)

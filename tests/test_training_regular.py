@@ -103,3 +103,16 @@ def test_conditional_training(tmp_path):
     tr = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "run"))
     tr.train(max_steps=2)
     assert int(tr.state.step) == 2
+
+
+def test_ema_every_gating():
+    from pdae_tpu.training.state import maybe_ema_update
+    import jax.numpy as jnp
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    # step 2 with every=2: update happens
+    out = maybe_ema_update(jnp.asarray(2), ema, params, 0.5, 2)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.5)
+    # step 3 with every=2: unchanged
+    out = maybe_ema_update(jnp.asarray(3), ema, params, 0.5, 2)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
