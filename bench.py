@@ -104,8 +104,6 @@ def main():
     jax.block_until_ready(out)
     fused_dt = (time.perf_counter() - t0) / reps
     fused_imgs_per_sec = batch / fused_dt
-    fused_steps_per_sec = steps * 1.0 / fused_dt * 1  # model invocations/s (loop level)
-    fused_denoise_steps_per_sec = steps / fused_dt
 
     # ---- reference execution model: host-driven per-step dispatch ----- #
     @jax.jit

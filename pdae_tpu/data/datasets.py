@@ -149,6 +149,12 @@ class CELEBAHQ(LMDBImageDataset):
         self._labels = None
         if os.path.exists(anno):
             self._labels = self._parse_annotations(anno)
+        elif config.get("require_annotations", True):
+            # the reference crashes on the missing file (celebahq.py:36);
+            # training a classifier on silent zero labels would "work"
+            raise FileNotFoundError(
+                f"{anno} not found; set require_annotations: false to load "
+                f"images without attribute labels")
 
     @staticmethod
     def _parse_annotations(path: str) -> np.ndarray:

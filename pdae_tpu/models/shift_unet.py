@@ -74,9 +74,19 @@ class ShiftUNet(nn.Module):
         self.shift_out_conv = conv3x3(self.input_channel, dtype=self.dtype,
                                       kernel_init=zeros_init)
 
-    def __call__(self, x, time, condition, deterministic: bool = True):
+    def __call__(self, x, time, condition, deterministic: bool = True,
+                 shift_deterministic=None):
         """``condition`` is the semantic latent z [N, latent_dim].
-        Returns ``(predicted_noise, gradient)``."""
+        Returns ``(predicted_noise, gradient)``.
+
+        ``deterministic`` governs the FROZEN trunk/epsilon decoder;
+        ``shift_deterministic`` (default: follows ``deterministic``) governs
+        only the trainable shift branch -- PDAE training keeps the frozen
+        modules in eval mode while the shift branch trains with dropout
+        (reference shift_unet.py:287-310 set_train_mode/freeze).
+        """
+        if shift_deterministic is None:
+            shift_deterministic = deterministic
         emb = self.time_embed(timestep_embedding(time, self.base_channel))
         shift_emb = self.label_emb(condition.astype(self.dtype))
 
@@ -89,7 +99,7 @@ class ShiftUNet(nn.Module):
         epsilon_h = apply_stage(self.middle_block, h, emb,
                                 deterministic=deterministic)
         shift_h = apply_stage(self.shift_middle_block, h, emb, shift_emb,
-                              deterministic=deterministic)
+                              deterministic=shift_deterministic)
 
         for stage, shift_stage in zip(self.output_blocks,
                                       self.shift_output_blocks):
@@ -99,7 +109,7 @@ class ShiftUNet(nn.Module):
                                     deterministic=deterministic)
             shift_h = jnp.concatenate([shift_h, h_previous], axis=-1)
             shift_h = apply_stage(shift_stage, shift_h, emb, shift_emb,
-                                  deterministic=deterministic)
+                                  deterministic=shift_deterministic)
 
         epsilon = self.out_conv(nn.silu(self.out_norm(epsilon_h)))
         gradient = self.shift_out_conv(nn.silu(self.shift_out_norm(shift_h)))

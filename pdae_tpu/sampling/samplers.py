@@ -144,13 +144,17 @@ class AutoencodingEval(BaseSampler):
         # DistributedSampler, autoencoding_eval.py:26-43)
         my_idx = process_shard_indices(n)
         for start in range(0, len(my_idx), batch_size):
-            idxs = my_idx[start:start + batch_size]
+            idxs = list(my_idx[start:start + batch_size])
+            real = len(idxs)
+            # pad the last chunk so the DDIM program compiles exactly once
+            while len(idxs) < batch_size:
+                idxs.append(idxs[-1])
             batch = collate([ds[int(i)] for i in idxs])
             x_0 = jnp.asarray(batch["x_0"])
-            recon = np.asarray(fn(ctx.enc_params, ctx.dec_params, x_0))
+            recon = np.asarray(fn(ctx.enc_params, ctx.dec_params, x_0))[:real]
             # reference compares on [0,1] (autoencoding_eval.py:84-88)
             a = (recon + 1.0) / 2.0
-            b = (np.asarray(batch["x_0"]) + 1.0) / 2.0
+            b = (np.asarray(batch["x_0"])[:real] + 1.0) / 2.0
             ssim_m.process(a, b)
             mse_m.process(a, b)
             if lpips_m is not None:
@@ -183,10 +187,13 @@ class InferLatents(BaseSampler):
         my_idx = process_shard_indices(n, pad_to_even=False)
         zs = []
         for start in range(0, len(my_idx), batch_size):
-            batch = collate([ds[int(i)] for i in
-                             my_idx[start:start + batch_size]])
-            zs.append(np.asarray(encoder(ctx.enc_params,
-                                         jnp.asarray(batch["x_0"]))))
+            idxs = list(my_idx[start:start + batch_size])
+            real = len(idxs)
+            while len(idxs) < batch_size:
+                idxs.append(idxs[-1])
+            batch = collate([ds[int(i)] for i in idxs])
+            zs.append(np.asarray(encoder(
+                ctx.enc_params, jnp.asarray(batch["x_0"])))[:real])
         from ..parallel import gather_objects
         zs = gather_objects(zs)
         latent = np.concatenate(zs, axis=0)
@@ -217,11 +224,10 @@ class GapMeasure(BaseSampler):
                 k, self._enc(ep), self._dec(dp), x))
         gaps, ae_gaps = [], []
         total_eff = min(total, len(ds))
-        n_full = (total_eff // batch_size) * batch_size
-        if n_full < total_eff:
-            print(f"gap_measure: using {n_full} of {total_eff} samples "
-                  f"(full batches of {batch_size})")
-        n_full = max(n_full, batch_size)
+        n_full = max((total_eff // batch_size) * batch_size, batch_size)
+        if n_full != total_eff:
+            print(f"gap_measure: using {n_full} samples "
+                  f"(full batches of {batch_size}; {total_eff} requested)")
         for start in range(0, n_full, batch_size):
             batch = collate([ds[i % len(ds)] for i in
                              range(start, start + batch_size)])
@@ -415,10 +421,14 @@ class UnconditionalSample(BaseSampler):
             b = min(batch, n - done)
             k1, k2 = jax.random.split(jax.random.fold_in(
                 self.key(done), jax.process_index()))
-            x_T = jax.random.normal(k2, (b, size, size, ch))
-            imgs.append(to_uint8(np.asarray(
-                fn(ctx.lat_params, ctx.dec_params, k1, x_T))))
+            # constant batch shape (pad + slice) so the big DDIM program
+            # compiles exactly once
+            x_T = jax.random.normal(k2, (batch, size, size, ch))
+            out_imgs = np.asarray(fn(ctx.lat_params, ctx.dec_params, k1, x_T))
+            imgs.append(to_uint8(out_imgs[:b]))
             done += b
+        local_images = (np.concatenate(imgs) if imgs
+                        else np.zeros((0, size, size, ch), np.uint8))
         # gather every process's images; only the primary writes the grid
         # (reference gathers to rank 0, unconditional_sample.py:69-75)
         from ..parallel import gather_objects
@@ -442,7 +452,11 @@ class UnconditionalSample(BaseSampler):
                 ref_n = min(int(fid_cfg.get("num_reference", 1000)), len(ds))
                 gts = collate([ds[i] for i in range(ref_n)])["gts"]
                 m.set_target_from_images(gts)
-            m.process(images)
+            # features from the LOCAL shard only; the gather happens on
+            # features (computing them on the gathered set would duplicate
+            # work and bias np.cov's normalization world-fold)
+            if len(local_images):
+                m.process(local_images)
             m.all_gather_results()
             fid = m.compute_metrics()
             if is_primary():

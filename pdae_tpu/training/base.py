@@ -230,19 +230,21 @@ class BaseTrainer:
             batch = next(it)
             t1 = time.perf_counter()
             self.state, metrics = self.train_step(self.state, batch)
+            # keep DEVICE scalars (no host sync) every step; block once per
+            # display window when converting to floats
+            for k, v in metrics.items():
+                losses[k].append(v)
+            meters.add("load_data", t1 - t0)
             if step % display == 0:
-                # block only when we need numbers on the host
-                metrics = {k: float(v) for k, v in metrics.items()}
+                avg = {k: float(np.mean([float(x) for x in v]))
+                       for k, v in losses.items()}
                 t2 = time.perf_counter()
-                meters.add("load_data", t1 - t0)
-                meters.add("step", t2 - t1)
-                for k, v in metrics.items():
-                    losses[k].append(v)
-                avg = {k: float(np.mean(v)) for k, v in losses.items()}
-                rate = display / (t2 - t_end) if step > display else 0.0
-                self.logger.scalars(step, {**avg, "steps_per_sec": rate,
-                                           **{f"time/{k}": v for k, v in
-                                              meters.summary().items()}})
+                window = t2 - t_end
+                rate = display / window if step > display else 0.0
+                self.logger.scalars(step, {
+                    **avg, "steps_per_sec": rate,
+                    "time/step": window / display,
+                    "time/load_data": meters.summary().get("load_data", 0.0)})
                 if is_primary():
                     print(f"step {step}: " + " ".join(
                         f"{k}={v:.5f}" for k, v in avg.items())

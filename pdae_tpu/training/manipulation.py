@@ -114,9 +114,9 @@ class ManipulationTrainer(BaseTrainer):
 
         self._train_step = train_step
 
-        @partial(jax.jit, static_argnums=(5, 6, 7, 8))
+        @partial(jax.jit, static_argnums=(5, 6, 7))
         def manip_fn(clf_params, enc_p, dec_p, x_0, inferred_x_T,
-                     encode_style, decode_style, class_id, scale):
+                     decode_style, class_id, scale):
             w = LinearClassifier.weight({"params": clf_params})
             return gd.manipulation_sample(
                 decode_style, w, lambda xx: enc_apply(enc_p, xx),
@@ -147,8 +147,7 @@ class ManipulationTrainer(BaseTrainer):
         imgs = np.asarray(self._manip_fn(self.state.ema_params,
                                          self.encoder_params,
                                          self.decoder_params, x_0, x_T,
-                                         encode_style, decode_style,
-                                         class_id, scale))
+                                         decode_style, class_id, scale))
         grid = np.concatenate([to_uint8(np.asarray(x_0)), to_uint8(imgs)])
         path = os.path.join(self.run_path, "samples",
                             f"sample{step // 1000}k.png")

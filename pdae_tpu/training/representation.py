@@ -104,9 +104,12 @@ class RepresentationLearningTrainer(BaseTrainer):
             def loss_fn(params, x_0, key):
                 key, drop_key = jax.random.split(key)
                 def dec_train(xx, tt, zz):
+                    # frozen trunk stays in eval mode; only the shift branch
+                    # trains with dropout (reference set_train_mode/freeze)
                     full = merge_params(frozen, params["shift"])
                     return decoder.apply({"params": full}, xx, tt, zz,
-                                         deterministic=False,
+                                         deterministic=True,
+                                         shift_deterministic=False,
                                          rngs={"dropout": drop_key})
                 out = gd.representation_learning_train_one_batch(
                     key, lambda xx: enc_apply(params["encoder"], xx),

@@ -3,7 +3,7 @@
 # are driven through GSPMD -- no per-chip process spawn like torchrun).
 # Multi-host: export JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
 # JAX_PROCESS_ID on each host and run this same script.
-# usage: bash scripts/train_regular_diffusion.sh CONFIG RUN_PATH [RESUME]
+# usage: bash scripts/train_latent_diffusion.sh CONFIG RUN_PATH [RESUME]
 set -e
 cd "$(dirname "$0")/.."
 CONFIG=${1:-configs/celeba64_latent.yml}
