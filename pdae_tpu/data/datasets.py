@@ -63,6 +63,8 @@ class LMDBImageDataset:
         self.image_size = int(config["image_size"])
         self.image_channel = int(config.get("image_channel", 3))
         self.augmentation = bool(config.get("augmentation", False))
+        # opt-in native JPEG decode+resize (GIL-free; see data/native_image)
+        self.fast_decode = bool(config.get("fast_decode", False))
         self._reader: Optional[Reader] = None
 
     def _txn(self) -> Reader:
@@ -79,10 +81,17 @@ class LMDBImageDataset:
         return (self.key_fmt % index).encode("utf-8")
 
     def _load_image(self, index: int):
-        from PIL import Image
         img_bytes = self._txn().get(self._index_key(index))
         if img_bytes is None:
             raise KeyError(f"missing LMDB key {self._index_key(index)!r}")
+        if self.fast_decode and self.image_channel == 3:
+            from .native_image import available, load_jpeg_resized
+            if available():
+                arr = load_jpeg_resized(img_bytes, self.image_size,
+                                        crop=self.crop)
+                if arr is not None:
+                    return arr
+        from PIL import Image
         img = Image.open(io.BytesIO(img_bytes))
         img = img.convert("RGB" if self.image_channel == 3 else "L")
         if self.crop is not None:

@@ -176,3 +176,42 @@ def test_native_reader_matches_python(tmp_path):
         assert nat.get(k) == py.get(k) == items[k]
     assert nat.get(b"missing") is None
     nat.close()
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """Native libjpeg decode is pixel-exact vs PIL; the triangle resize
+    matches PIL BILINEAR within rounding (+/-1 step on >=99% of pixels)."""
+    from pdae_tpu.data import native_image as ni
+    if not ni.available():
+        pytest.skip("no native image decoder")
+    from PIL import Image
+    rs = np.random.RandomState(0)
+    src = rs.randint(0, 255, (218, 178, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+
+    ours = ni.decode_jpeg(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(ours, pil)  # same libjpeg IDCT
+
+    res_ours = ni.resize_triangle(ours, 64).astype(np.int16)
+    res_pil = np.asarray(Image.fromarray(pil).resize(
+        (64, 64), Image.BILINEAR)).astype(np.int16)
+    diff = np.abs(res_ours - res_pil)
+    assert (diff <= 1).mean() > 0.99, diff.max()
+    assert diff.max() <= 3
+
+    # end-to-end dataset fast path (celeba64 crop + resize)
+    items = {f"None-{i:07d}".encode(): data for i in range(2)}
+    path = str(tmp_path / "fast")
+    write_lmdb(path, items)
+    ds_fast = CELEBA64({"data_path": path, "image_size": 64,
+                        "image_channel": 3, "split": "train",
+                        "augmentation": False, "fast_decode": True})
+    ds_pil = CELEBA64({"data_path": path, "image_size": 64,
+                       "image_channel": 3, "split": "train",
+                       "augmentation": False})
+    a = ds_fast[0]["gt"].astype(np.int16)
+    b = ds_pil[0]["gt"].astype(np.int16)
+    assert np.abs(a - b).max() <= 3
