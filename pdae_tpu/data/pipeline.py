@@ -73,11 +73,14 @@ class Loader:
                 [self._augment_seed, self.rank, epoch, int(i)])
             return self._getitem(int(i), item_rng)
 
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            for b in range(nb):
-                chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                items = list(pool.map(fetch, chunk))
-                yield self.collate(items)
+        # persistent pool (a with-block inside a generator leaks noisy
+        # teardown errors when the generator is abandoned mid-epoch)
+        if getattr(self, "_pool", None) is None:
+            self._pool = cf.ThreadPoolExecutor(self.num_workers)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            items = list(self._pool.map(fetch, chunk))
+            yield self.collate(items)
 
     def _getitem(self, i: int, rng):
         try:
