@@ -142,11 +142,18 @@ class GaussianDiffusion:
     # regular diffusion (gaussian_diffusion.py:199-229)
     # ------------------------------------------------------------------ #
 
-    def regular_train_one_batch(self, rng, denoise_fn, x_0, condition=None):
-        t_rng, noise_rng = jax.random.split(rng)
+    def regular_train_one_batch(self, rng, denoise_fn, x_0, condition=None,
+                                *, t=None, noise=None):
+        """``t``/``noise`` may be injected for deterministic parity tests;
+        by default they are drawn from ``rng`` (reference draws them from
+        torch global RNG, gaussian_diffusion.py:202-203)."""
+        if t is None or noise is None:
+            t_rng, noise_rng = jax.random.split(rng)
         batch = x_0.shape[0]
-        t = jax.random.randint(t_rng, (batch,), 0, self.timesteps, jnp.int32)
-        noise = jax.random.normal(noise_rng, x_0.shape, x_0.dtype)
+        if t is None:
+            t = jax.random.randint(t_rng, (batch,), 0, self.timesteps, jnp.int32)
+        if noise is None:
+            noise = jax.random.normal(noise_rng, x_0.shape, x_0.dtype)
         x_t = self.q_sample(x_0, t, noise)
         predicted_noise = denoise_fn(x_t, t, condition)
         return {"prediction_loss": self.p_loss(noise, predicted_noise)}
@@ -177,12 +184,16 @@ class GaussianDiffusion:
     # representation learning / PDAE (gaussian_diffusion.py:234-339)
     # ------------------------------------------------------------------ #
 
-    def representation_learning_train_one_batch(self, rng, encoder, decoder, x_0):
-        t_rng, noise_rng = jax.random.split(rng)
+    def representation_learning_train_one_batch(self, rng, encoder, decoder,
+                                                x_0, *, t=None, noise=None):
+        if t is None or noise is None:
+            t_rng, noise_rng = jax.random.split(rng)
         batch = x_0.shape[0]
         z = encoder(x_0)
-        t = jax.random.randint(t_rng, (batch,), 0, self.timesteps, jnp.int32)
-        noise = jax.random.normal(noise_rng, x_0.shape, x_0.dtype)
+        if t is None:
+            t = jax.random.randint(t_rng, (batch,), 0, self.timesteps, jnp.int32)
+        if noise is None:
+            noise = jax.random.normal(noise_rng, x_0.shape, x_0.dtype)
         x_t = self.q_sample(x_0, t, noise)
         predicted_noise, gradient = decoder(x_t, t, z)
         shift_coef = extract(self.schedule.shift_coef, t, x_0.ndim)
@@ -234,21 +245,25 @@ class GaussianDiffusion:
         return self.representation_learning_ddim_sample(
             decoder_ddim_style, None, decoder, None, inferred_x_T, z)
 
-    def representation_learning_gap_measure(self, rng, encoder, decoder, x_0):
+    def representation_learning_gap_measure(self, rng, encoder, decoder, x_0,
+                                            *, noise=None):
         """Posterior-mean-gap curves across every t, as one scan.
 
         NOTE: the reference uses *uniform* noise here (``torch.rand_like``,
         gaussian_diffusion.py:302) -- a quirk we reproduce faithfully.
         Returns two arrays of shape [timesteps], ordered t = T-1 .. 0 like
-        the reference's python list.
+        the reference's python list.  ``noise`` ([timesteps, *x_0.shape],
+        ordered t = T-1 .. 0) may be injected for parity tests.
         """
         batch = x_0.shape[0]
         z = encoder(x_0)
 
         def body(carry, step):
-            i, key = step
+            i, key, injected = step
             t = jnp.full((batch,), i, jnp.int32)
-            x_t = self.q_sample(x_0, t, jax.random.uniform(key, x_0.shape, x_0.dtype))
+            eps = (jax.random.uniform(key, x_0.shape, x_0.dtype)
+                   if injected is None else injected)
+            x_t = self.q_sample(x_0, t, eps)
             predicted_noise, gradient = decoder(x_t, t, z)
 
             predicted_x_0 = self.predicted_noise_to_predicted_x_0(x_t, t, predicted_noise)
@@ -265,14 +280,17 @@ class GaussianDiffusion:
             return carry, (gap, ae_gap)
 
         steps = jnp.arange(self.timesteps - 1, -1, -1)
-        keys = jax.random.split(rng, self.timesteps)
-        _, (gaps, ae_gaps) = jax.lax.scan(body, None, (steps, keys))
+        keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
+                                self.timesteps)
+        _, (gaps, ae_gaps) = jax.lax.scan(body, None, (steps, keys, noise))
         return gaps, ae_gaps
 
     def representation_learning_denoise_one_step(self, rng, encoder, decoder,
-                                                 x_0, timestep_list: Sequence[int]):
+                                                 x_0, timestep_list: Sequence[int],
+                                                 *, noise=None):
         t = jnp.asarray(timestep_list, jnp.int32)
-        noise = jax.random.normal(rng, x_0.shape, x_0.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng, x_0.shape, x_0.dtype)
         x_t = self.q_sample(x_0, t, noise)
         z = encoder(x_0)
         predicted_noise, gradient = decoder(x_t, t, z)
@@ -300,14 +318,18 @@ class GaussianDiffusion:
         return z * std + mean
 
     def latent_diffusion_train_one_batch(self, rng, latent_denoise_fn, encoder,
-                                         x_0, latents_mean, latents_std):
+                                         x_0, latents_mean, latents_std,
+                                         *, t=None, noise=None):
         ls = self.latent_schedule
         z_0 = jax.lax.stop_gradient(encoder(x_0))
         z_0 = self.normalize(z_0, latents_mean, latents_std)
         batch = z_0.shape[0]
-        t_rng, noise_rng = jax.random.split(rng)
-        t = jax.random.randint(t_rng, (batch,), 0, self.latent_timesteps, jnp.int32)
-        noise = jax.random.normal(noise_rng, z_0.shape, z_0.dtype)
+        if t is None or noise is None:
+            t_rng, noise_rng = jax.random.split(rng)
+        if t is None:
+            t = jax.random.randint(t_rng, (batch,), 0, self.latent_timesteps, jnp.int32)
+        if noise is None:
+            noise = jax.random.normal(noise_rng, z_0.shape, z_0.dtype)
         z_t = (extract(ls.sqrt_alphas_cumprod, t, z_0.ndim) * z_0
                + extract(ls.sqrt_one_minus_alphas_cumprod, t, z_0.ndim) * noise)
         predicted_noise = latent_denoise_fn(z_t, t)
@@ -316,12 +338,13 @@ class GaussianDiffusion:
 
     def latent_diffusion_sample(self, rng, latent_ddim_style, decoder_ddim_style,
                                 latent_denoise_fn, decoder, x_T, latents_mean,
-                                latents_std, latent_dim: int = 512):
+                                latents_std, latent_dim: int = 512, *, z_T=None):
         """z_T ~ N(0,1) clamped -> latent DDIM -> denormalize -> shift decode
         with stop_percent=0.3 (reference gaussian_diffusion.py:400-415)."""
         batch = x_T.shape[0]
-        z_T = jax.random.normal(rng, (batch, latent_dim), x_T.dtype)
-        z_T = jnp.clip(z_T, -1.0, 1.0)  # may slightly improve sample quality
+        if z_T is None:
+            z_T = jax.random.normal(rng, (batch, latent_dim), x_T.dtype)
+        z_T = jnp.clip(z_T, -1.0, 1.0)  # clamp follows the reference's sampling path
         dds = self.latent_ddim_schedule(latent_ddim_style)
         z = ddim_lib.latent_ddim_sample_loop(dds, latent_denoise_fn, z_T)
         z = self.denormalize(z, latents_mean, latents_std)

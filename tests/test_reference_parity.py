@@ -1,0 +1,365 @@
+"""Loop-level numerical parity: our diffusion workloads vs the actual torch
+reference implementation, side by side on identical converted weights.
+
+This is the strongest verification available in this environment: the torch
+reference (/root/reference) is importable, so every sampler/trainer entry
+point of our ``GaussianDiffusion`` is run against the reference's
+``GaussianDiffusion``/``DDIM`` (gaussian_diffusion.py:98-443, ddim.py:43-207)
+on the SAME converted random weights and the SAME inputs/noise, asserting
+the produced trajectories (sampled images, encoded x_T, gap curves, losses)
+agree.  Internal torch RNG draws are intercepted via monkeypatching so both
+sides consume identical noise.
+
+Forward-model parity alone (test_torch_convert.py) would not catch an
+off-by-one in DDIM respacing or a shift-coefficient convention error --
+these tests would.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+import jax.numpy as jnp
+
+from pdae_tpu.diffusion import GaussianDiffusion
+from pdae_tpu.models import MLPSkipNet, ShiftUNet, UNet
+from pdae_tpu.utils.torch_convert import (convert_mlp_skip_net_state_dict,
+                                          convert_unet_state_dict)
+
+# small-but-real geometry: 16px images, attention at 8x8
+UNET_CFG = dict(
+    input_channel=3, base_channel=32, channel_multiplier=[1, 2],
+    num_residual_blocks_of_a_block=2, attention_resolutions=[2],
+    num_heads=2, head_channel=-1, use_new_attention_order=False, dropout=0.0)
+LATENT_DIM = 16
+T = 100  # original diffusion timesteps (small for test speed)
+B = 2
+IMG = 16
+
+_rs = np.random.RandomState(20240816)
+ENC_W = _rs.randn(3, LATENT_DIM).astype(np.float32)  # matrix "encoder"
+LAT_MEAN = _rs.randn(LATENT_DIM).astype(np.float32)
+LAT_STD = (0.5 + _rs.rand(LATENT_DIM)).astype(np.float32)
+
+
+def to_nhwc(x):
+    return np.asarray(x).transpose(0, 2, 3, 1)
+
+
+def to_nchw(x):
+    return np.asarray(x).transpose(0, 3, 1, 2)
+
+
+def torch_encoder(x):
+    """Deterministic stand-in encoder: spatial mean -> fixed matrix.
+
+    Keeps these tests about the *diffusion loops*; the real encoder's forward
+    parity is covered by test_torch_convert.py."""
+    return x.mean(dim=[2, 3]) @ torch.from_numpy(ENC_W)
+
+
+def jax_encoder(x):
+    return x.mean(axis=(1, 2)) @ jnp.asarray(ENC_W)
+
+
+@pytest.fixture(scope="module")
+def env():
+    from diffusion.gaussian_diffusion import GaussianDiffusion as RefGD
+    from model.mlp_skip_net import MLPSkipNet as TorchMLP
+    from model.shift_unet import ShiftUNet as TorchShiftUNet
+    from model.unet import UNet as TorchUNet
+
+    torch.manual_seed(7)
+    cfg = {"timesteps": T, "betas_type": "linear"}
+    ref = RefGD(cfg, torch.device("cpu"))
+    ours = GaussianDiffusion(cfg)
+
+    t_unet = TorchUNet(**UNET_CFG).eval()
+    t_dec = TorchShiftUNet(latent_dim=LATENT_DIM, **UNET_CFG).eval()
+    t_mlp = TorchMLP(input_channel=LATENT_DIM, model_channel=64, num_layers=4,
+                     time_emb_channel=16, use_norm=True, dropout=0.0).eval()
+
+    jcfg = {**UNET_CFG, "channel_multiplier": (1, 2),
+            "attention_resolutions": (2,)}
+    j_unet = UNet(**jcfg)
+    j_dec = ShiftUNet(latent_dim=LATENT_DIM, **jcfg)
+    j_mlp = MLPSkipNet(input_channel=LATENT_DIM, model_channel=64,
+                       num_layers=4, time_emb_channel=16, use_norm=True,
+                       dropout=0.0)
+
+    p_unet = convert_unet_state_dict(
+        {k: v.numpy() for k, v in t_unet.state_dict().items()})
+    p_dec = convert_unet_state_dict(
+        {k: v.numpy() for k, v in t_dec.state_dict().items()})
+    p_mlp = convert_mlp_skip_net_state_dict(
+        {k: v.numpy() for k, v in t_mlp.state_dict().items()})
+
+    def denoise_fn(x, t, condition=None):
+        return j_unet.apply({"params": p_unet}, x, t, condition)
+
+    def decoder(x, t, z):
+        return j_dec.apply({"params": p_dec}, x, t, z)
+
+    def latent_fn(z, t):
+        return j_mlp.apply({"params": p_mlp}, z, t)
+
+    return dict(ref=ref, ours=ours, t_unet=t_unet, t_dec=t_dec, t_mlp=t_mlp,
+                denoise_fn=denoise_fn, decoder=decoder, latent_fn=latent_fn)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rs = np.random.RandomState(99)
+    x = rs.randn(B, 3, IMG, IMG).astype(np.float32)
+    x = np.clip(x, -1, 1)
+    xT = rs.randn(B, 3, IMG, IMG).astype(np.float32)
+    z = rs.randn(B, LATENT_DIM).astype(np.float32)
+    z2 = rs.randn(B, LATENT_DIM).astype(np.float32)
+    return dict(x=x, xT=xT, z=z, z2=z2)
+
+
+def close(got_nhwc, want_nchw, atol=2e-3, what=""):
+    got = np.asarray(got_nhwc)
+    want = to_nhwc(want_nchw.detach().numpy())
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3,
+                               err_msg=f"trajectory mismatch: {what}")
+
+
+# --------------------------------------------------------------------- #
+# deterministic sampler trajectories
+# --------------------------------------------------------------------- #
+
+def test_ddim_sample_trajectory(env, data):
+    xT_t = torch.from_numpy(data["xT"])
+    with torch.no_grad():
+        want = env["ref"].ddim_sample("ddim10", env["t_unet"], xT_t)
+    got = env["ours"].ddim_sample("ddim10", env["denoise_fn"],
+                                  jnp.asarray(to_nhwc(data["xT"])))
+    close(got, want, what="ddim_sample ddim10")
+
+
+def test_ddim_encode_trajectory(env, data):
+    x_t = torch.from_numpy(data["x"])
+    with torch.no_grad():
+        want = env["ref"].ddim_encode("ddim10", env["t_unet"], x_t)
+    got = env["ours"].ddim_encode("ddim10", env["denoise_fn"],
+                                  jnp.asarray(to_nhwc(data["x"])))
+    close(got, want, what="ddim_encode ddim10")
+
+
+@pytest.mark.parametrize("stop_percent", [0.0, 0.3])
+def test_shift_ddim_sample_trajectory(env, data, stop_percent):
+    with torch.no_grad():
+        want = env["ref"].representation_learning_ddim_sample(
+            "ddim10", None, env["t_dec"], None,
+            torch.from_numpy(data["xT"]), z=torch.from_numpy(data["z"]),
+            stop_percent=stop_percent)
+    got = env["ours"].representation_learning_ddim_sample(
+        "ddim10", None, env["decoder"], None,
+        jnp.asarray(to_nhwc(data["xT"])), z=jnp.asarray(data["z"]),
+        stop_percent=stop_percent)
+    close(got, want, what=f"shift_ddim_sample stop={stop_percent}")
+
+
+def test_shift_ddim_encode_trajectory(env, data):
+    with torch.no_grad():
+        want = env["ref"].representation_learning_ddim_encode(
+            "ddim10", None, env["t_dec"], torch.from_numpy(data["x"]),
+            z=torch.from_numpy(data["z"]))
+    got = env["ours"].representation_learning_ddim_encode(
+        "ddim10", None, env["decoder"], jnp.asarray(to_nhwc(data["x"])),
+        z=jnp.asarray(data["z"]))
+    close(got, want, what="shift_ddim_encode")
+
+
+def test_autoencoding_trajectory(env, data):
+    """Full encode->decode round trip, the SSIM-0.994 eval path."""
+    with torch.no_grad():
+        want = env["ref"].representation_learning_autoencoding(
+            "ddim10", "ddim5", torch_encoder, env["t_dec"],
+            torch.from_numpy(data["x"]))
+    got = env["ours"].representation_learning_autoencoding(
+        "ddim10", "ddim5", jax_encoder, env["decoder"],
+        jnp.asarray(to_nhwc(data["x"])))
+    close(got, want, what="autoencoding ddim10->ddim5")
+
+
+def test_trajectory_interpolation(env, data):
+    with torch.no_grad():
+        want = env["ref"].representation_learning_ddim_trajectory_interpolation(
+            "ddim10", env["t_dec"], torch.from_numpy(data["z"]),
+            torch.from_numpy(data["z2"]), torch.from_numpy(data["xT"]),
+            alpha=0.35)
+    got = env["ours"].representation_learning_ddim_trajectory_interpolation(
+        "ddim10", env["decoder"], jnp.asarray(data["z"]),
+        jnp.asarray(data["z2"]), jnp.asarray(to_nhwc(data["xT"])), alpha=0.35)
+    close(got, want, what="trajectory interpolation")
+
+
+def test_manipulation_sample_trajectory(env, data):
+    rs = np.random.RandomState(5)
+    w = rs.randn(4, LATENT_DIM).astype(np.float32)
+    with torch.no_grad():
+        want = env["ref"].manipulation_sample(
+            "ddim5", torch.from_numpy(w), torch_encoder, env["t_dec"],
+            torch.from_numpy(data["x"]), torch.from_numpy(data["xT"]),
+            torch.from_numpy(LAT_MEAN), torch.from_numpy(LAT_STD),
+            class_id=2, scale=0.3)
+    got = env["ours"].manipulation_sample(
+        "ddim5", jnp.asarray(w), jax_encoder, env["decoder"],
+        jnp.asarray(to_nhwc(data["x"])), jnp.asarray(to_nhwc(data["xT"])),
+        jnp.asarray(LAT_MEAN), jnp.asarray(LAT_STD), class_id=2, scale=0.3)
+    close(got, want, what="manipulation_sample")
+
+
+def test_latent_diffusion_sample_trajectory(env, data, monkeypatch):
+    """Full unconditional pipeline: z_T -> latent DDIM -> shift decode."""
+    rs = np.random.RandomState(11)
+    z_T = rs.randn(B, LATENT_DIM).astype(np.float32)
+
+    real_randn = torch.randn
+
+    def fake_randn(*shape, **kw):
+        if tuple(shape) == (B, LATENT_DIM) or shape == ((B, LATENT_DIM),):
+            return torch.from_numpy(z_T)
+        return real_randn(*shape, **kw)
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    with torch.no_grad():
+        want = env["ref"].latent_diffusion_sample(
+            "ddim10", "ddim5", env["t_mlp"], env["t_dec"],
+            torch.from_numpy(data["xT"]), torch.from_numpy(LAT_MEAN),
+            torch.from_numpy(LAT_STD))
+    got = env["ours"].latent_diffusion_sample(
+        None, "ddim10", "ddim5", env["latent_fn"], env["decoder"],
+        jnp.asarray(to_nhwc(data["xT"])), jnp.asarray(LAT_MEAN),
+        jnp.asarray(LAT_STD), latent_dim=LATENT_DIM, z_T=jnp.asarray(z_T))
+    close(got, want, what="latent_diffusion_sample")
+
+
+# --------------------------------------------------------------------- #
+# noise-injected diagnostics
+# --------------------------------------------------------------------- #
+
+def test_gap_measure_curves(env, data, monkeypatch):
+    """Posterior-mean-gap curves across every t (uniform-noise quirk)."""
+    rs = np.random.RandomState(3)
+    noises = rs.rand(T, B, 3, IMG, IMG).astype(np.float32)  # t = T-1 .. 0
+    it = iter(noises)
+    monkeypatch.setattr(torch, "rand_like",
+                        lambda x: torch.from_numpy(next(it)))
+    with torch.no_grad():
+        want_gap, want_ae = env["ref"].representation_learning_gap_measure(
+            torch_encoder, env["t_dec"], torch.from_numpy(data["x"]))
+    got_gap, got_ae = env["ours"].representation_learning_gap_measure(
+        None, jax_encoder, env["decoder"], jnp.asarray(to_nhwc(data["x"])),
+        noise=jnp.asarray(noises.transpose(0, 1, 3, 4, 2)))
+    np.testing.assert_allclose(np.asarray(got_gap), np.array(want_gap),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ae), np.array(want_ae),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_denoise_one_step(env, data, monkeypatch):
+    rs = np.random.RandomState(4)
+    noise = rs.randn(B, 3, IMG, IMG).astype(np.float32)
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x: torch.from_numpy(noise))
+    tl = [40, 80]
+    with torch.no_grad():
+        want_x0, want_ae = env["ref"].representation_learning_denoise_one_step(
+            torch_encoder, env["t_dec"], torch.from_numpy(data["x"]), tl)
+    got_x0, got_ae = env["ours"].representation_learning_denoise_one_step(
+        None, jax_encoder, env["decoder"], jnp.asarray(to_nhwc(data["x"])),
+        tl, noise=jnp.asarray(to_nhwc(noise)))
+    close(got_x0, want_x0, what="denoise_one_step x0")
+    close(got_ae, want_ae, what="denoise_one_step ae_x0")
+
+
+# --------------------------------------------------------------------- #
+# training losses
+# --------------------------------------------------------------------- #
+
+def _patch_train_rng(monkeypatch, t_vals, noise):
+    monkeypatch.setattr(torch, "randint",
+                        lambda *a, **k: torch.from_numpy(t_vals))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x: torch.from_numpy(noise))
+
+
+def test_regular_train_loss(env, data, monkeypatch):
+    t_vals = np.array([13, 77], dtype=np.int64)
+    noise = np.random.RandomState(6).randn(B, 3, IMG, IMG).astype(np.float32)
+    _patch_train_rng(monkeypatch, t_vals, noise)
+    with torch.no_grad():
+        want = env["ref"].regular_train_one_batch(
+            env["t_unet"], torch.from_numpy(data["x"]))
+    got = env["ours"].regular_train_one_batch(
+        None, env["denoise_fn"], jnp.asarray(to_nhwc(data["x"])),
+        t=jnp.asarray(t_vals.astype(np.int32)),
+        noise=jnp.asarray(to_nhwc(noise)))
+    np.testing.assert_allclose(float(got["prediction_loss"]),
+                               float(want["prediction_loss"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_representation_train_loss(env, data, monkeypatch):
+    t_vals = np.array([5, 91], dtype=np.int64)
+    noise = np.random.RandomState(8).randn(B, 3, IMG, IMG).astype(np.float32)
+    _patch_train_rng(monkeypatch, t_vals, noise)
+    with torch.no_grad():
+        want = env["ref"].representation_learning_train_one_batch(
+            torch_encoder, env["t_dec"], torch.from_numpy(data["x"]))
+    got = env["ours"].representation_learning_train_one_batch(
+        None, jax_encoder, env["decoder"], jnp.asarray(to_nhwc(data["x"])),
+        t=jnp.asarray(t_vals.astype(np.int32)),
+        noise=jnp.asarray(to_nhwc(noise)))
+    np.testing.assert_allclose(float(got["prediction_loss"]),
+                               float(want["prediction_loss"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_latent_train_loss(env, data, monkeypatch):
+    t_vals = np.array([250, 888], dtype=np.int64)
+    noise = np.random.RandomState(9).randn(B, LATENT_DIM).astype(np.float32)
+    _patch_train_rng(monkeypatch, t_vals, noise)
+    with torch.no_grad():
+        want = env["ref"].latent_diffusion_train_one_batch(
+            env["t_mlp"], torch_encoder, torch.from_numpy(data["x"]),
+            torch.from_numpy(LAT_MEAN), torch.from_numpy(LAT_STD))
+    got = env["ours"].latent_diffusion_train_one_batch(
+        None, env["latent_fn"], jax_encoder, jnp.asarray(to_nhwc(data["x"])),
+        jnp.asarray(LAT_MEAN), jnp.asarray(LAT_STD),
+        t=jnp.asarray(t_vals.astype(np.int32)), noise=jnp.asarray(noise))
+    np.testing.assert_allclose(float(got["prediction_loss"]),
+                               float(want["prediction_loss"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_manipulation_train_loss(env, data):
+    labels = np.array([[1, -1, 1, 0], [0, 1, -1, 1]], dtype=np.float32)
+    clf_w = np.random.RandomState(10).randn(4, LATENT_DIM).astype(np.float32)
+    clf_b = np.zeros(4, dtype=np.float32)
+
+    t_clf = torch.nn.Linear(LATENT_DIM, 4)
+    with torch.no_grad():
+        t_clf.weight.copy_(torch.from_numpy(clf_w))
+        t_clf.bias.copy_(torch.from_numpy(clf_b))
+        want = env["ref"].manipulation_train_one_batch(
+            t_clf, torch_encoder, torch.from_numpy(data["x"]),
+            torch.from_numpy(labels), torch.from_numpy(LAT_MEAN),
+            torch.from_numpy(LAT_STD))
+
+    def j_clf(z):
+        return z @ jnp.asarray(clf_w).T + jnp.asarray(clf_b)
+
+    got = env["ours"].manipulation_train_one_batch(
+        j_clf, jax_encoder, jnp.asarray(to_nhwc(data["x"])),
+        jnp.asarray(labels), jnp.asarray(LAT_MEAN), jnp.asarray(LAT_STD))
+    np.testing.assert_allclose(float(got["bce_loss"]),
+                               float(want["bce_loss"]),
+                               rtol=1e-4, atol=1e-6)
