@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: PDAE denoising throughput on one TPU chip.
+"""Benchmark: PDAE throughput + MFU on one TPU chip.
 
-Primary metric (BASELINE.json): DDIM-100 image sampling throughput through
-the flagship ShiftUNet decoder at 64px, plus denoise steps/sec/chip.
+Default run produces the complete BASELINE.json metric set in ONE JSON line:
+  * DDIM-100 sampling imgs/sec/chip through the flagship ShiftUNet decoder
+    at 64px (celeba64 geometry) AND 128px (ffhq geometry), batch-swept,
+    peak reported
+  * PDAE representation-learning train step: steps/sec/chip + imgs/sec
+    at 64px (fwd+bwd+adam+EMA as one jitted program)
+  * per-eval FLOPs (XLA cost analysis of a single model apply -- NB XLA
+    counts a lax.scan body once, so loop FLOPs = per-eval * steps),
+    achieved TFLOP/s, and MFU vs the chip's bf16 peak
 
 ``vs_baseline`` compares the TPU-native execution model (whole DDIM loop
 fused into one XLA program via lax.scan) against the reference's execution
 model (one host-driven model dispatch per timestep with a host sync each
 step, as in /root/reference/diffusion/ddim.py:57-63) running the SAME
 jitted model on the SAME chip.  That isolates the framework-design win from
-the hardware.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+the hardware.  The reference repo publishes no throughput numbers
+(BASELINE.md), so ours are self-substantiating: see PERF.md for the
+profile-backed roofline analysis.
 """
 
 import argparse
@@ -22,27 +29,46 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# bf16 matmul peak by TPU generation (TFLOP/s per chip)
+PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0,   # v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6 lite": 918.0,   # v6e / Trillium
+    "v6e": 918.0,
+}
+
+
+def chip_peak_tflops(device_str: str):
+    s = device_str.lower()
+    for key, peak in PEAK_BF16_TFLOPS.items():
+        if key in s:
+            return peak
+    return None
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="tiny model + few steps (CI smoke)")
-    p.add_argument("--image_size", type=int, default=64)
-    p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--platform", default=None)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--train", action="store_true",
-                   help="benchmark the PDAE training step instead of "
-                        "DDIM sampling")
+    p.add_argument("--ddim_steps", type=int, default=100)
+    p.add_argument("--batches64", default="16,32,64")
+    p.add_argument("--batches128", default="8,16")
+    p.add_argument("--train_batch", type=int, default=32,
+                   help="per-chip train batch (celeba64 config uses 32)")
+    p.add_argument("--skip_128", action="store_true")
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--skip_host_baseline", action="store_true")
     args = p.parse_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
-    # persistent compile cache: repeat bench runs skip the 30-60s compiles
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -53,167 +79,213 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from __graft_entry__ import CELEBA64_DPM, TINY_DPM
+    from __graft_entry__ import CELEBA64_DPM, FFHQ128_DPM, TINY_DPM
     from pdae_tpu.diffusion import GaussianDiffusion, ddim as ddim_lib
     from pdae_tpu.models import ShiftUNet
     from pdae_tpu.utils import init_key
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if args.quick:
-        geometry, latent_dim, size, batch, steps = (
-            TINY_DPM, 16, 16, 8, 10)
-    else:
-        geometry, latent_dim, size, batch, steps = (
-            CELEBA64_DPM, 512, args.image_size, args.batch, args.ddim_steps)
-
-    model = ShiftUNet(latent_dim=latent_dim, dtype=dtype, **geometry)
-    x = jnp.zeros((batch, size, size, geometry["input_channel"]), jnp.float32)
-    t = jnp.zeros((batch,), jnp.int32)
-    z = jnp.zeros((batch, latent_dim), jnp.float32)
-    params = jax.jit(model.init)(init_key(0), x, t, z)["params"]
-
+    steps = 10 if args.quick else args.ddim_steps
     gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
     dds = gd.ddim_schedule(f"ddim{steps}")
+    device = str(jax.devices()[0])
+    peak = chip_peak_tflops(device) if args.dtype == "bfloat16" else None
 
-    if args.train:
-        _bench_train(jax, jnp, np, model, params, gd, batch, size,
-                     geometry, latent_dim, reps=1 if args.quick else 5,
-                     dtype_name=args.dtype)
+    def build(geometry, latent_dim, size, batch):
+        model = ShiftUNet(latent_dim=latent_dim, dtype=dtype, **geometry)
+        x = jnp.zeros((batch, size, size, geometry["input_channel"]),
+                      jnp.float32)
+        t = jnp.zeros((batch,), jnp.int32)
+        z = jnp.zeros((batch, latent_dim), jnp.float32)
+        params = jax.jit(model.init)(init_key(0), x, t, z)["params"]
+        return model, params, x, t, z
+
+    def eval_flops(model, params, x, t, z):
+        """XLA's flop count for ONE model apply (scan bodies are counted
+        once by cost_analysis, so this is the honest per-eval figure)."""
+        f = jax.jit(lambda p, xx, tt, zz: model.apply({"params": p},
+                                                      xx, tt, zz))
+        try:
+            cost = f.lower(params, x, t, z).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", float("nan")))
+        except Exception:
+            return float("nan")
+
+    def bench_sample(geometry, latent_dim, size, batch, reps):
+        model, params, x, t, z = build(geometry, latent_dim, size, batch)
+
+        @jax.jit
+        def fused(p, x_T, zz):
+            dec = lambda xx, tt, zz_: model.apply({"params": p}, xx, tt, zz_)
+            return ddim_lib.shift_ddim_sample_loop(dds, dec, zz, x_T)
+
+        key = jax.random.PRNGKey(0)
+        x_T = jax.random.normal(key, x.shape)
+        zz = jax.random.normal(key, z.shape)
+        jax.block_until_ready(fused(params, x_T, zz))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fused(params, x_T, zz)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        fl = eval_flops(model, params, x, t, z)
+        achieved_tf = fl * steps / dt / 1e12
+        return {
+            "batch": batch,
+            "imgs_per_sec": round(batch / dt, 3),
+            "denoise_steps_per_sec": round(batch * steps / dt, 1),
+            "eval_gflops": round(fl / 1e9, 1),
+            "achieved_tflops": round(achieved_tf, 1),
+            "mfu_pct": round(100 * achieved_tf / peak, 1) if peak else None,
+            "model": model, "params": params,
+            "x_T": x_T, "z": zz, "fused": fused,
+        }
+
+    def bench_host_loop(r, size, batch):
+        """Reference execution model: one jitted dispatch per step with a
+        host sync each step (like torch ddim.py:57-63 + .item())."""
+        model, params = r["model"], r["params"]
+
+        @jax.jit
+        def one_step(p, xx, i, zz):
+            tt = jnp.full((batch,), 0, jnp.int32) + dds.timestep_map[i]
+            eps, g = model.apply({"params": p}, xx, tt, zz)
+            coef = dds.sqrt_one_minus_alphas_cumprod[i]
+            eps = eps - coef * g
+            sr = dds.sqrt_recip_alphas_cumprod[i]
+            srm1 = dds.sqrt_recip_alphas_cumprod_m1[i]
+            x0 = jnp.clip(sr * xx - srm1 * eps, -1, 1)
+            new_eps = (sr * xx - x0) / srm1
+            ap = dds.alphas_cumprod_prev[i]
+            return x0 * jnp.sqrt(ap) + jnp.sqrt(1 - ap) * new_eps
+
+        host_steps = min(steps, 20)
+        jax.block_until_ready(
+            one_step(params, r["x_T"], jnp.int32(steps), r["z"]))
+        t0 = time.perf_counter()
+        xx = r["x_T"]
+        for i in range(steps, steps - host_steps, -1):
+            xx = one_step(params, xx, jnp.int32(i), r["z"])
+            np.asarray(xx[0, 0, 0, 0])   # host sync per step, like .item()
+        host_dt = (time.perf_counter() - t0) * (steps / host_steps)
+        return round(batch / host_dt, 3)
+
+    def bench_train(geometry, latent_dim, size, batch, n_steps):
+        import optax  # noqa: F401 (state.make_optimizer uses it)
+        from pdae_tpu.models import encoder_for_resolution
+        from pdae_tpu.models.encoder import SemanticEncoder
+        from pdae_tpu.training.partition import (merge_params,
+                                                 split_shift_unet)
+        from pdae_tpu.training.state import (TrainState, ema_update,
+                                             make_optimizer)
+
+        model, params, x, t, z = build(geometry, latent_dim, size, batch)
+        encoder = (encoder_for_resolution(size, latent_dim)
+                   if size in (64, 128)
+                   else SemanticEncoder(latent_dim, channels=(8, 16),
+                                        attn_after_stage=2))
+        enc_params = jax.jit(encoder.init)(init_key(2), x)["params"]
+        shift_params, frozen = split_shift_unet(params)
+        tx = make_optimizer({"lr": 1e-4})
+        state = TrainState.create(
+            {"encoder": enc_params, "shift": shift_params}, tx)
+
+        def train_step(state, frozen, x_0, rng):
+            def loss_fn(p):
+                out = gd.representation_learning_train_one_batch(
+                    rng,
+                    lambda xx: encoder.apply({"params": p["encoder"]}, xx),
+                    lambda xx, tt, zz: model.apply(
+                        {"params": merge_params(frozen, p["shift"])},
+                        xx, tt, zz),
+                    x_0)
+                return out["prediction_loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            new_params = jax.tree_util.tree_map(jnp.add, state.params,
+                                                updates)
+            ema = ema_update(state.ema_params, new_params, 0.9999)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 ema_params=ema, opt_state=opt_state), loss
+
+        step = jax.jit(train_step, donate_argnums=0)
+        key = jax.random.PRNGKey(0)
+        x_0 = jax.random.normal(key, x.shape)
+        keys = jax.random.split(key, n_steps + 3)
+        for i in range(3):  # warm compile + steady-state donation
+            state, loss = step(state, frozen, x_0, keys[i])
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, loss = step(state, frozen, x_0, keys[3 + i])
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / n_steps
+        return {"steps_per_sec": round(1.0 / dt, 3),
+                "imgs_per_sec": round(batch / dt, 1),
+                "batch": batch}
+
+    if args.quick:
+        r = bench_sample(TINY_DPM, 16, 16, 8, reps=1)
+        host = (None if args.skip_host_baseline
+                else bench_host_loop(r, 16, 8))
+        result = {
+            "metric": f"ddim{steps}_imgs_per_sec_16px_tiny",
+            "value": r["imgs_per_sec"],
+            "unit": "imgs/sec/chip",
+            "vs_baseline": (round(r["imgs_per_sec"] / host, 3)
+                            if host else 1.0),
+            "quick": True,
+            "dtype": args.dtype,
+            "device": device,
+        }
+        print(json.dumps(result))
         return
 
-    def decoder_with(p):
-        return lambda xx, tt, zz: model.apply({"params": p}, xx, tt, zz)
+    reps = 3
+    sweep64 = []
+    for b in [int(v) for v in args.batches64.split(",")]:
+        r = bench_sample(CELEBA64_DPM, 512, 64, b, reps)
+        sweep64.append(r)
+    best64 = max(sweep64, key=lambda r: r["imgs_per_sec"])
+    host_imgs = (None if args.skip_host_baseline
+                 else bench_host_loop(best64, 64, best64["batch"]))
 
-    # ---- TPU-native path: whole loop = one XLA program ----------------- #
-    # params are explicit jit args (closed-over arrays would be baked into
-    # the HLO as constants -- huge programs, and the axon remote-compile
-    # endpoint rejects them)
-    @jax.jit
-    def fused_sample(p, x_T, zz):
-        return ddim_lib.shift_ddim_sample_loop(dds, decoder_with(p), zz, x_T)
+    sweep128 = []
+    if not args.skip_128:
+        for b in [int(v) for v in args.batches128.split(",")]:
+            sweep128.append(bench_sample(FFHQ128_DPM, 512, 128, b, reps))
+    best128 = (max(sweep128, key=lambda r: r["imgs_per_sec"])
+               if sweep128 else None)
 
-    key = jax.random.PRNGKey(0)
-    x_T = jax.random.normal(key, x.shape)
-    zz = jax.random.normal(key, z.shape)
+    train64 = (None if args.skip_train
+               else bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
+                                n_steps=20))
 
-    jax.block_until_ready(fused_sample(params, x_T, zz))   # compile + warm
-    reps = 1 if args.quick else 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fused_sample(params, x_T, zz)
-    jax.block_until_ready(out)
-    fused_dt = (time.perf_counter() - t0) / reps
-    fused_imgs_per_sec = batch / fused_dt
-
-    # ---- reference execution model: host-driven per-step dispatch ----- #
-    @jax.jit
-    def one_step(p, xx, i, zz):
-        tt = jnp.full((batch,), 0, jnp.int32) + dds.timestep_map[i]
-        eps, g = decoder_with(p)(xx, tt, zz)
-        coef = dds.sqrt_one_minus_alphas_cumprod[i]
-        eps = eps - coef * g
-        sr = dds.sqrt_recip_alphas_cumprod[i]
-        srm1 = dds.sqrt_recip_alphas_cumprod_m1[i]
-        x0 = jnp.clip(sr * xx - srm1 * eps, -1, 1)
-        new_eps = (sr * xx - x0) / srm1
-        ap = dds.alphas_cumprod_prev[i]
-        return x0 * jnp.sqrt(ap) + jnp.sqrt(1 - ap) * new_eps
-
-    # measure a subset of host-driven steps and scale (per-step cost is
-    # constant; avoids paying 100 tunnel round-trips in CI)
-    host_steps = steps if args.quick else min(steps, 20)
-
-    def host_loop(x_T, zz):
-        xx = x_T
-        for i in range(steps, steps - host_steps, -1):
-            xx = one_step(params, xx, jnp.int32(i), zz)
-            np.asarray(xx[0, 0, 0, 0])   # host sync per step, like .item()
-        return xx
-
-    jax.block_until_ready(one_step(params, x_T, jnp.int32(steps), zz))
-    t0 = time.perf_counter()
-    ref = host_loop(x_T, zz)
-    jax.block_until_ready(ref)
-    host_dt = (time.perf_counter() - t0) * (steps / host_steps)
-    host_imgs_per_sec = batch / host_dt
-
+    strip = lambda r: {k: v for k, v in r.items()
+                       if k not in ("model", "params", "x_T", "z", "fused")}
     result = {
-        "metric": f"ddim{steps}_imgs_per_sec_{size}px_shiftunet",
-        "value": round(fused_imgs_per_sec, 3),
+        "metric": f"ddim{steps}_imgs_per_sec_64px_shiftunet",
+        "value": best64["imgs_per_sec"],
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(fused_imgs_per_sec / host_imgs_per_sec, 3),
-        "denoise_steps_per_sec_per_chip": round(batch * steps / fused_dt, 1),
-        "batch": batch,
-        "image_size": size,
+        "vs_baseline": (round(best64["imgs_per_sec"] / host_imgs, 3)
+                        if host_imgs else 1.0),
+        "denoise_steps_per_sec_per_chip": best64["denoise_steps_per_sec"],
+        "mfu_pct": best64["mfu_pct"],
+        "achieved_tflops": best64["achieved_tflops"],
+        "eval_gflops": best64["eval_gflops"],
+        "batch": best64["batch"],
         "dtype": args.dtype,
-        "host_loop_imgs_per_sec": round(host_imgs_per_sec, 3),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
-
-
-def _bench_train(jax, jnp, np, model, params, gd, batch, size, geometry,
-                 latent_dim, reps, dtype_name):
-    """PDAE representation-learning train step throughput (fwd+bwd+adam+EMA
-    over the trainable {encoder, shift} subtree)."""
-    import optax
-    from pdae_tpu.models import encoder_for_resolution
-    from pdae_tpu.training.partition import merge_params, split_shift_unet
-    from pdae_tpu.training.state import TrainState, ema_update, make_optimizer
-    from pdae_tpu.utils import init_key
-
-    encoder = encoder_for_resolution(size, latent_dim) if size in (64, 128) \
-        else None
-    if encoder is None:
-        from pdae_tpu.models.encoder import SemanticEncoder
-        encoder = SemanticEncoder(latent_dim, channels=(8, 16),
-                                  attn_after_stage=2)
-    x = jnp.zeros((batch, size, size, geometry["input_channel"]))
-    enc_params = jax.jit(encoder.init)(init_key(2), x)["params"]
-    shift_params, frozen = split_shift_unet(params)
-    tx = make_optimizer({"lr": 1e-4})
-    state = TrainState.create({"encoder": enc_params, "shift": shift_params},
-                              tx)
-
-    def train_step(state, frozen, x_0, rng):
-        def loss_fn(p):
-            out = gd.representation_learning_train_one_batch(
-                rng,
-                lambda xx: encoder.apply({"params": p["encoder"]}, xx),
-                lambda xx, tt, zz: model.apply(
-                    {"params": merge_params(frozen, p["shift"])}, xx, tt, zz),
-                x_0)
-            return out["prediction_loss"]
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(jnp.add, state.params, updates)
-        ema = ema_update(state.ema_params, new_params, 0.9999)
-        return state.replace(step=state.step + 1, params=new_params,
-                             ema_params=ema, opt_state=opt_state), loss
-
-    step = jax.jit(train_step, donate_argnums=0)
-    key = jax.random.PRNGKey(0)
-    x_0 = jax.random.normal(key, x.shape)
-    state, loss = step(state, frozen, x_0, key)
-    jax.block_until_ready(loss)
-    n = 10 * reps
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, loss = step(state, frozen, x_0,
-                           jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n
-    result = {
-        "metric": f"pdae_train_steps_per_sec_{size}px_b{batch}",
-        "value": round(1.0 / dt, 3),
-        "unit": "steps/sec/chip",
-        "vs_baseline": 1.0,
-        "imgs_per_sec": round(batch / dt, 1),
-        "batch": batch,
-        "image_size": size,
-        "dtype": dtype_name,
-        "device": str(jax.devices()[0]),
+        "device": device,
+        "peak_bf16_tflops": peak,
+        "host_loop_imgs_per_sec": host_imgs,
+        "sweep_64px": [strip(r) for r in sweep64],
+        "ddim100_128px": strip(best128) if best128 else None,
+        "sweep_128px": [strip(r) for r in sweep128],
+        "train_64px": train64,
     }
     print(json.dumps(result))
 
