@@ -151,6 +151,32 @@ class BaseTrainer:
         return prefetch_to_device(self.loader.infinite(), size=2,
                                   sharding=self.batch_sharding)
 
+    # -- multi-process eval helpers --------------------------------------- #
+
+    def _eval_shard(self, total: int):
+        """This process's ``(count, offset)`` slice of eval-generation work
+        (reference ``dispatch_num_samples_for_process`` + rank-ordered
+        gather, trainer/base_trainer.py:143-159)."""
+        from ..parallel import dispatch_num_samples_for_process, process_index
+        local = dispatch_num_samples_for_process(total)
+        offset = sum(dispatch_num_samples_for_process(total, rank=r)
+                     for r in range(process_index()))
+        return local, offset
+
+    def _gather_eval_images(self, local_imgs: np.ndarray):
+        """Concatenate per-process eval images on the primary; returns None
+        on non-primary processes (reference ``gather_data`` to rank 0,
+        trainer/base_trainer.py:156-159 + train_regular_diffusion.py:143-168).
+        Collective: every process must call this."""
+        from ..parallel import gather_objects
+        if jax.process_count() > 1:
+            parts = gather_objects([np.asarray(local_imgs)])
+        else:
+            parts = [np.asarray(local_imgs)]
+        if not is_primary():
+            return None
+        return np.concatenate(parts, axis=0)
+
     # -- subclass hooks -------------------------------------------------- #
 
     def _compute_dtype(self):

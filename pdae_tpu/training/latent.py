@@ -143,13 +143,15 @@ class LatentDiffusionTrainer(BaseTrainer):
         self._train_step = train_step
 
         @partial(jax.jit, static_argnums=(4, 5))
-        def sample_fn(ema_params, dec_p, key, x_T, latent_ddim_style,
+        def sample_fn(ema_params, dec_p, z_T, x_T, latent_ddim_style,
                       decoder_ddim_style):
+            # z_T injected (not drawn inside) so eval work can be sharded
+            # across processes with a process-count-invariant result
             return gd.latent_diffusion_sample(
-                key, latent_ddim_style, decoder_ddim_style,
+                None, latent_ddim_style, decoder_ddim_style,
                 lambda zt, tt: model.apply({"params": ema_params}, zt, tt),
                 lambda xx, tt, zc: dec_apply(dec_p, xx, tt, zc),
-                x_T, mean, std, latent_dim=self.latent_dim)
+                x_T, mean, std, latent_dim=self.latent_dim, z_T=z_T)
 
         self._sample_fn = sample_fn
 
@@ -163,11 +165,18 @@ class LatentDiffusionTrainer(BaseTrainer):
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         zkey, xkey = jax.random.split(key)
         x_T = jax.random.normal(xkey, (n,) + self.sample_shape)
-        imgs = np.asarray(self._sample_fn(self.state.ema_params,
-                                          self.decoder_params, zkey, x_T,
-                                          latent_ddim_style,
-                                          decoder_ddim_style))
-        grid = to_uint8(imgs)
+        z_T = jax.random.normal(zkey, (n, self.latent_dim))
+        local, offset = self._eval_shard(n)
+        sl = slice(offset, offset + local)
+        imgs = (np.asarray(self._sample_fn(self.state.ema_params,
+                                           self.decoder_params, z_T[sl],
+                                           x_T[sl], latent_ddim_style,
+                                           decoder_ddim_style))
+                if local else np.zeros((0,) + self.sample_shape, np.float32))
+        all_imgs = self._gather_eval_images(imgs)
+        if all_imgs is None:
+            return
+        grid = to_uint8(all_imgs)
         path = os.path.join(self.run_path, "samples",
                             f"sample{step // 1000}k.png")
         save_image_grid(grid, path)

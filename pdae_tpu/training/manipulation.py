@@ -139,6 +139,11 @@ class ManipulationTrainer(BaseTrainer):
     def evaluate(self, step: int, encode_style: str = "ddim500",
                  decode_style: str = "ddim200", class_id: int = 31,
                  scale: float = 0.3):
+        # single-image eval: primary does the work, others skip (reference
+        # manipulation eval runs on rank 0, train_manipulation.py:166-204)
+        from ..parallel import is_primary
+        if not is_primary():
+            return
         items = [self.eval_dataset.__getitem__(i) for i in range(1)]
         batch = type(self.eval_dataset).collate_fn(items)
         x_0 = jnp.asarray(batch["x_0"])

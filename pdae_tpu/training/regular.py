@@ -129,10 +129,18 @@ class RegularDiffusionTrainer(BaseTrainer):
         n = int(self.dataloader_config.get("eval", {})
                 .get("num_generations", 36))
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
+        # full x_T generated identically everywhere, each process decodes
+        # its slice, primary gathers -- output is process-count-invariant
         x_T = jax.random.normal(key, (n,) + self.sample_shape)
-        imgs = np.asarray(self._sample_fn(self.state.ema_params, x_T,
-                                          ddim_style))
-        grid = to_uint8(imgs)
+        local, offset = self._eval_shard(n)
+        imgs = (np.asarray(self._sample_fn(
+                    self.state.ema_params, x_T[offset:offset + local],
+                    ddim_style))
+                if local else np.zeros((0,) + self.sample_shape, np.float32))
+        all_imgs = self._gather_eval_images(imgs)
+        if all_imgs is None:
+            return
+        grid = to_uint8(all_imgs)
         path = os.path.join(self.run_path, "samples", f"step-{step}.png")
         from ..utils.image import make_grid
         save_image_grid(grid, path)

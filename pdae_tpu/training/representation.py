@@ -166,17 +166,25 @@ class RepresentationLearningTrainer(BaseTrainer):
     def evaluate(self, step: int, ddim_style: str = "ddim100"):
         n = int(self.dataloader_config.get("eval", {})
                 .get("num_generations", 36))
+        # same eval batch + x_T on every process; each decodes its slice,
+        # primary gathers and writes (multi-host-safe, count-invariant)
         eval_batch = self._eval_batch(n)
         x_0 = jnp.asarray(eval_batch["x_0"])
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         x_T = jax.random.normal(key, x_0.shape)
-        imgs = np.asarray(self._sample_fn(self.state.ema_params,
-                                          self.frozen_params, (x_0, x_T),
-                                          ddim_style))
-        grid = to_uint8(imgs)
+        local, offset = self._eval_shard(x_0.shape[0])
+        sl = slice(offset, offset + local)
+        imgs = (np.asarray(self._sample_fn(self.state.ema_params,
+                                           self.frozen_params,
+                                           (x_0[sl], x_T[sl]), ddim_style))
+                if local else np.zeros((0,) + x_0.shape[1:], np.float32))
+        all_imgs = self._gather_eval_images(imgs)
+        if all_imgs is None:
+            return
+        grid = to_uint8(all_imgs)
         path = os.path.join(self.run_path, "samples",
                             f"sample{step // 1000}k.png")
-        save_image_grid(grid, path, gts=eval_batch["gts"])
+        save_image_grid(grid, path, gts=eval_batch["gts"][:all_imgs.shape[0]])
         from ..utils.image import make_grid
         self.logger.image(step, "result", make_grid(grid))
 

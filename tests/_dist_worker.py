@@ -1,0 +1,106 @@
+"""Worker for the live 2-process distributed test (launched by
+test_multiprocess_live.py).  Runs real jax.distributed paths that replace
+the reference's torchrun/NCCL semantics (utils/utils.py:18-27,
+base_trainer.py:117,143-159) and writes results to a JSON file.
+
+Usage: python _dist_worker.py <coordinator> <num_procs> <proc_id> <outdir>
+"""
+
+import json
+import os
+import sys
+
+coordinator, num_procs, proc_id, outdir = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=num_procs, process_id=proc_id)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdae_tpu.data.pipeline import prefetch_to_device
+from pdae_tpu.parallel import (dispatch_num_samples_for_process,
+                               gather_objects, is_primary, make_mesh,
+                               process_count, sync_global_devices)
+
+out = {"process_id": proc_id}
+out["process_count"] = process_count()
+out["local_device_count"] = jax.local_device_count()
+out["global_device_count"] = len(jax.devices())
+
+# --- ragged host-object all-gather (reference all_gather_object) --------- #
+local_payload = (["alpha", 1, {"k": [2, 3]}] if proc_id == 0
+                 else [{"beta": proc_id}])
+gathered = gather_objects(local_payload)
+out["gather_objects"] = repr(gathered)
+
+# --- sampler work dispatch (reference dispatch_num_samples_for_process) -- #
+out["dispatch_7"] = dispatch_num_samples_for_process(7)
+
+# --- global-batch train step over the 8-device mesh --------------------- #
+# per-process local batch -> make_array_from_process_local_data -> jitted
+# loss over the GLOBAL batch; the logged loss must be the cross-rank
+# average by construction (replaces reference gather_data loss averaging,
+# train_regular_diffusion.py:125-130)
+mesh = make_mesh()
+batch_sharding = NamedSharding(mesh, P("data"))
+repl = NamedSharding(mesh, P())
+
+LOCAL_B, DIM = 8, 16
+rs = np.random.RandomState(100 + proc_id)
+local_x = rs.randn(LOCAL_B, DIM).astype(np.float32)
+w = jnp.asarray(np.random.RandomState(7).randn(DIM, 1).astype(np.float32))
+w = jax.device_put(w, repl)
+
+it = prefetch_to_device(iter([{"x": local_x}]), size=1,
+                        sharding=batch_sharding)
+batch = next(it)
+out["global_batch_shape"] = list(batch["x"].shape)
+
+
+@jax.jit
+def loss_and_grad(w, x):
+    def loss_fn(w):
+        return jnp.mean((x @ w) ** 2)
+    return jax.value_and_grad(loss_fn)(w)
+
+
+loss, grad = loss_and_grad(w, batch["x"])
+out["global_loss"] = float(loss)
+out["grad_norm"] = float(jnp.linalg.norm(grad))
+
+# numpy cross-check: global loss over the CONCATENATED per-process batches
+all_x = np.concatenate([np.random.RandomState(100 + r).randn(
+    LOCAL_B, DIM).astype(np.float32) for r in range(num_procs)])
+out["numpy_global_loss"] = float(np.mean((all_x @ np.asarray(w)) ** 2))
+
+# --- primary-gated eval gather (BaseTrainer._gather_eval_images) -------- #
+from pdae_tpu.training.base import BaseTrainer
+
+local_n = dispatch_num_samples_for_process(5)
+offset = sum(dispatch_num_samples_for_process(5, rank=r)
+             for r in range(proc_id))
+local_imgs = np.full((local_n, 2, 2, 3), proc_id, np.float32)
+merged = BaseTrainer._gather_eval_images(object(), local_imgs)
+out["eval_gather"] = (None if merged is None
+                      else [list(merged.shape),
+                            [float(v) for v in merged[:, 0, 0, 0]]])
+out["is_primary"] = is_primary()
+out["eval_shard"] = [local_n, offset]
+
+sync_global_devices("done")
+
+with open(os.path.join(outdir, f"rank{proc_id}.json"), "w") as f:
+    json.dump(out, f)
+print("WORKER_OK", proc_id)
