@@ -63,8 +63,11 @@ class LMDBImageDataset:
         self.image_size = int(config["image_size"])
         self.image_channel = int(config.get("image_channel", 3))
         self.augmentation = bool(config.get("augmentation", False))
-        # opt-in native JPEG decode+resize (GIL-free; see data/native_image)
-        self.fast_decode = bool(config.get("fast_decode", False))
+        # native JPEG decode+resize (GIL-free, ~1.3x PIL per core; see
+        # data/native_image).  Default ON since round 2 -- falls back to PIL
+        # automatically when the .so is absent or input isn't JPEG; pixel
+        # parity vs PIL is within +/-1 uint8 step (tests/test_data.py).
+        self.fast_decode = bool(config.get("fast_decode", True))
         self._reader: Optional[Reader] = None
 
     def _txn(self) -> Reader:
