@@ -76,7 +76,8 @@ class GaussianDiffusion:
         frac = (learned_range + 1.0) / 2.0
         return min_log_variance + frac * (max_log_variance - min_log_variance)
 
-    def noise_p_sample(self, rng, x_t, t, predicted_noise, learned_range=None):
+    def noise_p_sample(self, rng, x_t, t, predicted_noise, learned_range=None,
+                       *, noise=None):
         """One ancestral DDPM step from the predicted noise."""
         s = self.schedule
         nd = x_t.ndim
@@ -85,13 +86,14 @@ class GaussianDiffusion:
             log_variance = self.learned_range_to_log_variance(learned_range, t)
         else:
             log_variance = extract(s.posterior_log_variance_clipped, t, nd)
-        noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
         nonzero_mask = (1.0 - (t == 0).astype(x_t.dtype)).reshape(
             (x_t.shape[0],) + (1,) * (nd - 1))
         return predicted_mean + nonzero_mask * jnp.exp(0.5 * log_variance) * noise
 
     def x_0_clip_p_sample(self, rng, x_t, t, predicted_noise,
-                          learned_range=None, clip_x_0=True):
+                          learned_range=None, clip_x_0=True, *, noise=None):
         s = self.schedule
         nd = x_t.ndim
         predicted_x_0 = self.predicted_noise_to_predicted_x_0(x_t, t, predicted_noise)
@@ -102,7 +104,8 @@ class GaussianDiffusion:
             log_variance = self.learned_range_to_log_variance(learned_range, t)
         else:
             log_variance = extract(s.posterior_log_variance_clipped, t, nd)
-        noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
         nonzero_mask = (1.0 - (t == 0).astype(x_t.dtype)).reshape(
             (x_t.shape[0],) + (1,) * (nd - 1))
         return predicted_mean + nonzero_mask * jnp.exp(0.5 * log_variance) * noise
@@ -161,23 +164,29 @@ class GaussianDiffusion:
     def regular_ddim_sample(self, ddim_style, denoise_fn, x_T, condition=None):
         return self.ddim_sample(ddim_style, denoise_fn, x_T, condition)
 
-    def regular_ddpm_sample(self, rng, denoise_fn, x_T, condition=None):
-        """Full-T ancestral sampling as one lax.scan program."""
+    def regular_ddpm_sample(self, rng, denoise_fn, x_T, condition=None,
+                            *, noise=None):
+        """Full-T ancestral sampling as one lax.scan program.
+
+        ``noise`` ([timesteps, *x_T.shape], ordered t = T-1 .. 0) may be
+        injected for deterministic parity tests."""
         batch, ch = x_T.shape[0], x_T.shape[-1]
 
         def body(x, step):
-            i, key = step
+            i, key, injected = step
             t = jnp.full((batch,), i, jnp.int32)
             output = denoise_fn(x, t, condition)
             if output.shape[-1] == 2 * ch:
                 predicted_noise, learned_range = jnp.split(output, 2, axis=-1)
             else:
                 predicted_noise, learned_range = output, None
-            return self.noise_p_sample(key, x, t, predicted_noise, learned_range), None
+            return self.noise_p_sample(key, x, t, predicted_noise,
+                                       learned_range, noise=injected), None
 
         steps = jnp.arange(self.timesteps - 1, -1, -1)
-        keys = jax.random.split(rng, self.timesteps)
-        x, _ = jax.lax.scan(body, x_T, (steps, keys))
+        keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
+                                self.timesteps)
+        x, _ = jax.lax.scan(body, x_T, (steps, keys, noise))
         return x
 
     # ------------------------------------------------------------------ #
@@ -203,22 +212,24 @@ class GaussianDiffusion:
         return {"prediction_loss": loss}
 
     def representation_learning_ddpm_sample(self, rng, encoder, decoder, x_0,
-                                            x_T, z=None):
+                                            x_T, z=None, *, noise=None):
         if z is None:
             z = encoder(x_0)
         batch = x_T.shape[0]
 
         def body(x, step):
-            i, key = step
+            i, key, injected = step
             t = jnp.full((batch,), i, jnp.int32)
             predicted_noise, gradient = decoder(x, t, z)
             shift_coef = extract(self.schedule.shift_coef, t, x.ndim)
             return self.noise_p_sample(
-                key, x, t, predicted_noise + shift_coef * gradient), None
+                key, x, t, predicted_noise + shift_coef * gradient,
+                noise=injected), None
 
         steps = jnp.arange(self.timesteps - 1, -1, -1)
-        keys = jax.random.split(rng, self.timesteps)
-        x, _ = jax.lax.scan(body, x_T, (steps, keys))
+        keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
+                                self.timesteps)
+        x, _ = jax.lax.scan(body, x_T, (steps, keys, noise))
         return x
 
     def representation_learning_ddim_sample(self, ddim_style, encoder, decoder,

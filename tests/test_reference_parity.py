@@ -363,3 +363,90 @@ def test_manipulation_train_loss(env, data):
     np.testing.assert_allclose(float(got["bce_loss"]),
                                float(want["bce_loss"]),
                                rtol=1e-4, atol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# stochastic DDPM ancestral paths (noise injected on both sides)
+# --------------------------------------------------------------------- #
+
+def _patch_step_noise(monkeypatch, noises):
+    """Reference noise_p_sample draws torch.randn(shape, device) per step."""
+    it = iter(noises)
+    monkeypatch.setattr(torch, "randn",
+                        lambda *a, **k: torch.from_numpy(next(it)))
+
+
+def test_regular_ddpm_sample_trajectory(env, data, monkeypatch):
+    rs = np.random.RandomState(21)
+    noises = rs.randn(T, B, 3, IMG, IMG).astype(np.float32)  # t = T-1 .. 0
+    _patch_step_noise(monkeypatch, noises)
+    with torch.no_grad():
+        want = env["ref"].regular_ddpm_sample(
+            env["t_unet"], torch.from_numpy(data["xT"]))
+    got = env["ours"].regular_ddpm_sample(
+        None, env["denoise_fn"], jnp.asarray(to_nhwc(data["xT"])),
+        noise=jnp.asarray(noises.transpose(0, 1, 3, 4, 2)))
+    close(got, want, what="regular_ddpm_sample")
+
+
+def test_shift_ddpm_sample_trajectory(env, data, monkeypatch):
+    rs = np.random.RandomState(22)
+    noises = rs.randn(T, B, 3, IMG, IMG).astype(np.float32)
+    _patch_step_noise(monkeypatch, noises)
+    with torch.no_grad():
+        want = env["ref"].representation_learning_ddpm_sample(
+            torch_encoder, env["t_dec"], torch.from_numpy(data["x"]),
+            torch.from_numpy(data["xT"]))
+    got = env["ours"].representation_learning_ddpm_sample(
+        None, jax_encoder, env["decoder"], jnp.asarray(to_nhwc(data["x"])),
+        jnp.asarray(to_nhwc(data["xT"])),
+        noise=jnp.asarray(noises.transpose(0, 1, 3, 4, 2)))
+    close(got, want, what="shift_ddpm_sample")
+
+
+def test_regular_ddpm_sample_learn_sigma_trajectory(env, data, monkeypatch):
+    """learn_sigma model: 2x output channels split into (eps, learned_range),
+    variance interpolation (reference gaussian_diffusion.py:148-154,216-229)."""
+    from model.unet import UNet as TorchUNet
+    torch.manual_seed(17)
+    tm = TorchUNet(learn_sigma=True, **UNET_CFG).eval()
+    params = convert_unet_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()})
+    jm = UNet(learn_sigma=True,
+              **{**UNET_CFG, "channel_multiplier": (1, 2),
+                 "attention_resolutions": (2,)})
+
+    rs = np.random.RandomState(23)
+    noises = rs.randn(T, B, 3, IMG, IMG).astype(np.float32)
+    _patch_step_noise(monkeypatch, noises)
+    with torch.no_grad():
+        want = env["ref"].regular_ddpm_sample(
+            tm, torch.from_numpy(data["xT"]))
+    got = env["ours"].regular_ddpm_sample(
+        None, lambda xx, tt, cc: jm.apply({"params": params}, xx, tt, cc),
+        jnp.asarray(to_nhwc(data["xT"])),
+        noise=jnp.asarray(noises.transpose(0, 1, 3, 4, 2)))
+    close(got, want, what="regular_ddpm_sample learn_sigma", atol=5e-3)
+
+
+def test_x0_clip_p_sample_step(env, data, monkeypatch):
+    """Single x_0-clipping ancestral step, with and without learned_range."""
+    rs = np.random.RandomState(24)
+    eps = rs.randn(B, 3, IMG, IMG).astype(np.float32)
+    lr = np.tanh(rs.randn(B, 3, IMG, IMG).astype(np.float32))
+    step_noise = rs.randn(B, 3, IMG, IMG).astype(np.float32)
+    t_vals = np.array([37, 81], dtype=np.int64)
+    monkeypatch.setattr(torch, "randn",
+                        lambda *a, **k: torch.from_numpy(step_noise))
+    for learned in (None, lr):
+        with torch.no_grad():
+            want = env["ref"].x_0_clip_p_sample(
+                torch.from_numpy(data["x"]), torch.from_numpy(t_vals),
+                torch.from_numpy(eps),
+                None if learned is None else torch.from_numpy(learned))
+        got = env["ours"].x_0_clip_p_sample(
+            None, jnp.asarray(to_nhwc(data["x"])),
+            jnp.asarray(t_vals.astype(np.int32)), jnp.asarray(to_nhwc(eps)),
+            None if learned is None else jnp.asarray(to_nhwc(learned)),
+            noise=jnp.asarray(to_nhwc(step_noise)))
+        close(got, want, what=f"x_0_clip_p_sample learned={learned is not None}")
