@@ -63,6 +63,7 @@ class Reader:
         meta = self._pick_meta()
         self.psize: int = meta["psize"]
         self.entries: int = meta["entries"]
+        self.depth: int = meta["depth"]   # B+tree depth (diagnostics)
         self._root: int = meta["root"]
 
     # -- meta ---------------------------------------------------------- #
@@ -82,6 +83,7 @@ class Reader:
         main = vals[12:20]  # dbs[1]
         return {
             "psize": psize,
+            "depth": main[2],
             "entries": main[6],
             "root": main[7],
             "txnid": vals[21],

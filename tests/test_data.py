@@ -215,3 +215,32 @@ def test_native_jpeg_decode_matches_pil(tmp_path):
     a = ds_fast[0]["gt"].astype(np.int16)
     b = ds_pil[0]["gt"].astype(np.int16)
     assert np.abs(a - b).max() <= 3
+
+
+def test_lmdb_scale_depth3(tmp_path):
+    """Deep B+tree: ~150k entries forces >=2 branch levels (the regime the
+    2-3M-image horse/bedroom LMDBs occupy).  Python and C++ readers must
+    agree on random probes and full ordered iteration length."""
+    from pdae_tpu.data.lmdb_store import (NativeReader, Reader, _native_lib,
+                                          write_lmdb)
+
+    n = 150_000
+    items = {b"256-%07d" % i: (b"v%d" % i) * 3 for i in range(n)}
+    path = str(tmp_path / "deep")
+    write_lmdb(path, items)
+
+    r = Reader(path)
+    assert len(r) == n
+    assert r.depth >= 3, r.depth   # deep regime: >= 2 branch levels
+    rs = np.random.RandomState(0)
+    probes = [0, n - 1, *rs.randint(0, n, 64)]
+    for i in probes:
+        k = b"256-%07d" % i
+        assert r.get(k) == items[k], i
+    assert r.get(b"256-9999999") is None
+
+    nr = NativeReader(path) if _native_lib() is not None else None
+    if nr is not None:
+        for i in probes:
+            k = b"256-%07d" % i
+            assert nr.get(k) == items[k], i
