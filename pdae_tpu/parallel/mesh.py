@@ -47,3 +47,30 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def local_mesh(axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over THIS PROCESS's devices.  In a single-process run this
+    is every chip; in multi-process runs each process drives its own chips
+    (host-local work like the sampler suite shards over this mesh, while
+    training uses the global mesh)."""
+    return Mesh(np.asarray(jax.local_devices()), (axis_name,))
+
+
+def pad_shard_batch(mesh: Mesh, x, axis_name: str = DATA_AXIS):
+    """Lay a host batch out sharded over the mesh's data axis, wrap-padding
+    the batch to a device-count multiple.
+
+    Returns ``(sharded, original_n)`` -- slice results with
+    ``[:original_n]``.  This is what makes the sampler suite multi-chip:
+    the reference scales sampling only across processes (one GPU each,
+    sampler/base_sampler.py); here one process saturates all local chips
+    through GSPMD with the same jitted program."""
+    import jax.numpy as jnp
+    n = int(x.shape[0])
+    world = mesh.devices.size
+    pad = (-n) % world
+    if pad:
+        reps = -(-pad // n)  # wrap enough copies even when pad > n
+        x = jnp.concatenate([x] + [x[:n]] * reps, axis=0)[:n + pad]
+    return jax.device_put(x, data_sharding(mesh, axis_name)), n

@@ -25,8 +25,15 @@ from ..data import build_dataset
 from ..diffusion import GaussianDiffusion
 from ..models import (LinearClassifier, build_classifier, build_decoder,
                       build_denoise_fn, build_encoder)
+from ..parallel import local_mesh, replicate
 from ..training.artifacts import resolve_model_config
 from ..utils import init_key, load_checkpoint, load_yaml, restore_into
+
+
+def _replicate_local(tree):
+    """Replicate params over THIS PROCESS's chips so sampler batches can be
+    GSPMD-sharded across them (no-op placement on a single device)."""
+    return replicate(local_mesh(), tree)
 
 
 def _load_cfg(path_or_dict):
@@ -80,7 +87,8 @@ class SamplerContext:
         t = jnp.zeros((1,), jnp.int32)
         template = jax.jit(model.init)(init_key(0), x, t)["params"]
         raw = load_checkpoint(self.config["checkpoint_path"])
-        self.dn_params = restore_into(template, raw["ema_denoise_fn"])
+        self.dn_params = _replicate_local(
+            restore_into(template, raw["ema_denoise_fn"]))
         self.denoise_apply = (
             lambda p, xx, tt, cc=None: model.apply({"params": p}, xx, tt, cc))
         self._built_dn = True
@@ -112,8 +120,10 @@ class SamplerContext:
         enc_t = jax.jit(encoder.init)(init_key(0), x)["params"]
         dec_t = jax.jit(decoder.init)(init_key(1), x, t, z)["params"]
         raw = load_checkpoint(self.config["checkpoint_path"])
-        self.enc_params = restore_into(enc_t, raw["ema_encoder"])
-        self.dec_params = restore_into(dec_t, raw["ema_decoder"])
+        self.enc_params = _replicate_local(
+            restore_into(enc_t, raw["ema_encoder"]))
+        self.dec_params = _replicate_local(
+            restore_into(dec_t, raw["ema_decoder"]))
         self.enc_apply = lambda p, xx: encoder.apply({"params": p}, xx)
         self.dec_apply = lambda p, xx, tt, zz: decoder.apply(
             {"params": p}, xx, tt, zz)
@@ -143,7 +153,8 @@ class SamplerContext:
         t = jnp.zeros((1,), jnp.int32)
         template = jax.jit(model.init)(init_key(2), zz, t)["params"]
         raw = load_checkpoint(self.config["latent_checkpoint_path"])
-        self.lat_params = restore_into(template, raw["ema_latent_denoise_fn"])
+        self.lat_params = _replicate_local(
+            restore_into(template, raw["ema_latent_denoise_fn"]))
         self.latent_apply = lambda p, z, tt: model.apply({"params": p}, z, tt)
         self.latent_input_channel = int(lat_cfg["input_channel"])
         self._built_lat = True

@@ -32,9 +32,21 @@ class BaseSampler:
         self.config = config
         self.ctx = SamplerContext(config)
         self.seed = int(config.get("seed", 0))
+        self._mesh = None
 
     def key(self, salt: int = 0):
         return jax.random.fold_in(jax.random.PRNGKey(self.seed), salt)
+
+    def shard(self, x):
+        """Shard a batch over this process's chips (GSPMD), wrap-padding to
+        a device multiple.  Returns ``(sharded, original_n)``; slice
+        outputs with ``[:original_n]``.  This makes the big sampling loops
+        multi-chip WITHIN a process -- the reference only scales sampling
+        across processes (one GPU each, sampler/base_sampler.py)."""
+        from ..parallel import local_mesh, pad_shard_batch
+        if self._mesh is None:
+            self._mesh = local_mesh()
+        return pad_shard_batch(self._mesh, x)
 
     def start(self):
         raise NotImplementedError
@@ -61,8 +73,9 @@ class TestDPMs(BaseSampler):
         fn = jax.jit(lambda p, x_T: ctx.gd.test_pretrained_dpms(
             style, lambda xx, tt, cc=None: ctx.denoise_apply(p, xx, tt, cc),
             x_T))
-        x_T = jax.random.normal(self.key(), (n, size, size, ch))
-        samples = to_uint8(np.asarray(fn(ctx.dn_params, x_T)))
+        x_T, real = self.shard(jax.random.normal(self.key(),
+                                                 (n, size, size, ch)))
+        samples = to_uint8(np.asarray(fn(ctx.dn_params, x_T))[:real])
         out = ctx.output_path("test_dpms_result.png")
         save_image_grid(samples, out, nrow=int(math.ceil(math.sqrt(n))))
         return out
@@ -150,7 +163,7 @@ class AutoencodingEval(BaseSampler):
             while len(idxs) < batch_size:
                 idxs.append(idxs[-1])
             batch = collate([ds[int(i)] for i in idxs])
-            x_0 = jnp.asarray(batch["x_0"])
+            x_0, _ = self.shard(jnp.asarray(batch["x_0"]))
             recon = np.asarray(fn(ctx.enc_params, ctx.dec_params, x_0))[:real]
             # reference compares on [0,1] (autoencoding_eval.py:84-88)
             a = (recon + 1.0) / 2.0
@@ -192,8 +205,8 @@ class InferLatents(BaseSampler):
             while len(idxs) < batch_size:
                 idxs.append(idxs[-1])
             batch = collate([ds[int(i)] for i in idxs])
-            zs.append(np.asarray(encoder(
-                ctx.enc_params, jnp.asarray(batch["x_0"])))[:real])
+            x_0, _ = self.shard(jnp.asarray(batch["x_0"]))
+            zs.append(np.asarray(encoder(ctx.enc_params, x_0))[:real])
         from ..parallel import gather_objects
         zs = gather_objects(zs)
         latent = np.concatenate(zs, axis=0)
@@ -231,8 +244,12 @@ class GapMeasure(BaseSampler):
         for start in range(0, n_full, batch_size):
             batch = collate([ds[i % len(ds)] for i in
                              range(start, start + batch_size)])
-            g, ag = fn(ctx.enc_params, ctx.dec_params, self.key(start),
-                       jnp.asarray(batch["x_0"]))
+            x_0 = jnp.asarray(batch["x_0"])
+            # the gap fn reduces over the batch INSIDE the program, so only
+            # shard when no wrap-padding would bias the mean
+            if x_0.shape[0] % jax.local_device_count() == 0:
+                x_0, _ = self.shard(x_0)
+            g, ag = fn(ctx.enc_params, ctx.dec_params, self.key(start), x_0)
             gaps.append(np.asarray(g))
             ae_gaps.append(np.asarray(ag))
         gap = np.mean(np.stack(gaps), axis=0)
@@ -422,8 +439,8 @@ class UnconditionalSample(BaseSampler):
             k1, k2 = jax.random.split(jax.random.fold_in(
                 self.key(done), jax.process_index()))
             # constant batch shape (pad + slice) so the big DDIM program
-            # compiles exactly once
-            x_T = jax.random.normal(k2, (batch, size, size, ch))
+            # compiles exactly once; sharded over this process's chips
+            x_T, _ = self.shard(jax.random.normal(k2, (batch, size, size, ch)))
             out_imgs = np.asarray(fn(ctx.lat_params, ctx.dec_params, k1, x_T))
             imgs.append(to_uint8(out_imgs[:b]))
             done += b
