@@ -109,9 +109,12 @@ def main():
             cost = f.lower(params, x, t, z).compile().cost_analysis()
             if isinstance(cost, list):
                 cost = cost[0]
-            return float(cost.get("flops", float("nan")))
+            fl = float(cost.get("flops", 0.0))
+            # None (not NaN) keeps the output line valid JSON when the
+            # backend doesn't support cost analysis
+            return fl if fl > 0 else None
         except Exception:
-            return float("nan")
+            return None
 
     def bench_sample(geometry, latent_dim, size, batch, reps):
         model, params, x, t, z = build(geometry, latent_dim, size, batch)
@@ -131,14 +134,15 @@ def main():
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         fl = eval_flops(model, params, x, t, z)
-        achieved_tf = fl * steps / dt / 1e12
+        achieved_tf = fl * steps / dt / 1e12 if fl else None
         return {
             "batch": batch,
             "imgs_per_sec": round(batch / dt, 3),
             "denoise_steps_per_sec": round(batch * steps / dt, 1),
-            "eval_gflops": round(fl / 1e9, 1),
-            "achieved_tflops": round(achieved_tf, 1),
-            "mfu_pct": round(100 * achieved_tf / peak, 1) if peak else None,
+            "eval_gflops": round(fl / 1e9, 1) if fl else None,
+            "achieved_tflops": round(achieved_tf, 1) if achieved_tf else None,
+            "mfu_pct": (round(100 * achieved_tf / peak, 1)
+                        if peak and achieved_tf else None),
             "model": model, "params": params,
             "x_T": x_T, "z": zz, "fused": fused,
         }

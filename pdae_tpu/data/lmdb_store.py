@@ -386,11 +386,21 @@ def _native_lib():
         os.path.dirname(os.path.abspath(__file__)))), "native")
     so = os.path.join(native_dir, "liblmdb_reader.so")
     if not os.path.exists(so):
+        # build to a process-unique name + atomic rename (concurrent
+        # processes never dlopen a half-written .so; see native/Makefile)
+        tmp_name = f"liblmdb_reader.so.build.{os.getpid()}"
+        tmp = os.path.join(native_dir, tmp_name)
         try:
-            subprocess.run(["make", "-C", native_dir], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(
+                ["make", "-C", native_dir, tmp_name, f"LMDB_SO={tmp_name}"],
+                check=True, capture_output=True, timeout=120)
+            if os.path.exists(tmp):
+                os.replace(tmp, so)
         except Exception:
-            return None
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
         lib.pdae_lmdb_open.restype = ctypes.c_void_p

@@ -4,8 +4,9 @@
 ctypes calls release the GIL, so thread-pool decoding scales with workers
 (PIL caps out around 4 workers; see CLAUDE.md).  The resize implements
 PIL.Image.BILINEAR's antialiased triangle filter; outputs match PIL within
-+/-1 uint8 step (rounding), so it is an opt-in fast path
-(``fast_decode: true`` in the dataset config) rather than the default.
++/-1 uint8 step (rounding).  Since round 2 this is the DEFAULT decode path
+for 3-channel LMDB datasets (``fast_decode: false`` opts out; PIL is the
+automatic fallback when the .so is unavailable or the input isn't JPEG).
 """
 
 from __future__ import annotations
@@ -13,28 +14,49 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_LOCK = threading.Lock()   # loader workers are threads; build/load once
 
 
 def _lib():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        lib = _build_and_load()
+        _LIB = lib          # publish before _TRIED so readers never see
+        _TRIED = True       # _TRIED=True with a stale _LIB
+        return _LIB
+
+
+def _build_and_load():
     native_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "native")
     so = os.path.join(native_dir, "libimage_decode.so")
     if not os.path.exists(so):
+        # build to a process-unique name, then atomically rename: two
+        # PROCESSES racing here never CDLL a half-written .so
+        tmp_name = f"libimage_decode.so.build.{os.getpid()}"
+        tmp = os.path.join(native_dir, tmp_name)
         try:
-            subprocess.run(["make", "-C", native_dir, "libimage_decode.so"],
-                           check=True, capture_output=True, timeout=120)
+            subprocess.run(
+                ["make", "-C", native_dir, tmp_name, f"IMAGE_SO={tmp_name}"],
+                check=True, capture_output=True, timeout=120)
+            if os.path.exists(tmp):
+                os.replace(tmp, so)
         except Exception:
-            return None
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            if not os.path.exists(so):   # maybe another process won the race
+                return None
     try:
         lib = ctypes.CDLL(so)
         lib.pdae_jpeg_decode.restype = ctypes.POINTER(ctypes.c_uint8)
@@ -46,10 +68,9 @@ def _lib():
         lib.pdae_resize_triangle.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
-        _LIB = lib
+        return lib
     except Exception:
-        _LIB = None
-    return _LIB
+        return None
 
 
 def available() -> bool:

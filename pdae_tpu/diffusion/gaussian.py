@@ -183,9 +183,13 @@ class GaussianDiffusion:
             return self.noise_p_sample(key, x, t, predicted_noise,
                                        learned_range, noise=injected), None
 
+        if rng is None:
+            # rng may only be omitted when the noise is injected -- a silent
+            # fixed-key fallback would make every call's draws identical
+            assert noise is not None, "rng is required when noise is None"
+            rng = jax.random.PRNGKey(0)   # keys traced but unused
         steps = jnp.arange(self.timesteps - 1, -1, -1)
-        keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
-                                self.timesteps)
+        keys = jax.random.split(rng, self.timesteps)
         x, _ = jax.lax.scan(body, x_T, (steps, keys, noise))
         return x
 
@@ -226,9 +230,13 @@ class GaussianDiffusion:
                 key, x, t, predicted_noise + shift_coef * gradient,
                 noise=injected), None
 
+        if rng is None:
+            # rng may only be omitted when the noise is injected -- a silent
+            # fixed-key fallback would make every call's draws identical
+            assert noise is not None, "rng is required when noise is None"
+            rng = jax.random.PRNGKey(0)   # keys traced but unused
         steps = jnp.arange(self.timesteps - 1, -1, -1)
-        keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
-                                self.timesteps)
+        keys = jax.random.split(rng, self.timesteps)
         x, _ = jax.lax.scan(body, x_T, (steps, keys, noise))
         return x
 
@@ -290,9 +298,13 @@ class GaussianDiffusion:
             ae_gap = jnp.mean((true_posterior_mean - ae_posterior_mean) ** 2)
             return carry, (gap, ae_gap)
 
+        if rng is None:
+            # rng may only be omitted when the noise is injected -- a silent
+            # fixed-key fallback would make every call's draws identical
+            assert noise is not None, "rng is required when noise is None"
+            rng = jax.random.PRNGKey(0)   # keys traced but unused
         steps = jnp.arange(self.timesteps - 1, -1, -1)
-        keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
-                                self.timesteps)
+        keys = jax.random.split(rng, self.timesteps)
         _, (gaps, ae_gaps) = jax.lax.scan(body, None, (steps, keys, noise))
         return gaps, ae_gaps
 

@@ -163,6 +163,18 @@ class BaseTrainer:
                      for r in range(process_index()))
         return local, offset
 
+    def _eval_local(self, tree):
+        """Process-local copy of a (globally replicated) param tree for
+        eval compute.  In multi-process runs eval work is sharded with
+        per-process shapes (and may be skipped entirely on some ranks);
+        jit calls on GLOBAL arrays are collectives every process must
+        join, so running them per-rank would deadlock.  ``device_get`` is
+        safe on fully-replicated arrays and the subsequent jit is purely
+        local.  Single-process (the common case): no copy."""
+        if jax.process_count() == 1:
+            return tree
+        return jax.device_get(tree)
+
     def _gather_eval_images(self, local_imgs: np.ndarray):
         """Concatenate per-process eval images on the primary; returns None
         on non-primary processes (reference ``gather_data`` to rank 0,

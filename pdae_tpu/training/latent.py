@@ -168,8 +168,9 @@ class LatentDiffusionTrainer(BaseTrainer):
         z_T = jax.random.normal(zkey, (n, self.latent_dim))
         local, offset = self._eval_shard(n)
         sl = slice(offset, offset + local)
-        imgs = (np.asarray(self._sample_fn(self.state.ema_params,
-                                           self.decoder_params, z_T[sl],
+        ema = self._eval_local(self.state.ema_params)
+        dec = self._eval_local(self.decoder_params)
+        imgs = (np.asarray(self._sample_fn(ema, dec, z_T[sl],
                                            x_T[sl], latent_ddim_style,
                                            decoder_ddim_style))
                 if local else np.zeros((0,) + self.sample_shape, np.float32))

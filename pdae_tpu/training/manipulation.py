@@ -140,18 +140,21 @@ class ManipulationTrainer(BaseTrainer):
                  decode_style: str = "ddim200", class_id: int = 31,
                  scale: float = 0.3):
         # single-image eval: primary does the work, others skip (reference
-        # manipulation eval runs on rank 0, train_manipulation.py:166-204)
+        # manipulation eval runs on rank 0, train_manipulation.py:166-204).
+        # Params are copied process-local first -- jitting over the GLOBAL
+        # replicated arrays from one rank only would be a collective the
+        # other processes never join (see BaseTrainer._eval_local).
         from ..parallel import is_primary
         if not is_primary():
             return
+        ema = self._eval_local(self.state.ema_params)
+        enc = self._eval_local(self.encoder_params)
+        dec = self._eval_local(self.decoder_params)
         items = [self.eval_dataset.__getitem__(i) for i in range(1)]
         batch = type(self.eval_dataset).collate_fn(items)
         x_0 = jnp.asarray(batch["x_0"])
-        x_T = self._encode_fn(self.encoder_params, self.decoder_params,
-                              x_0, encode_style)
-        imgs = np.asarray(self._manip_fn(self.state.ema_params,
-                                         self.encoder_params,
-                                         self.decoder_params, x_0, x_T,
+        x_T = self._encode_fn(enc, dec, x_0, encode_style)
+        imgs = np.asarray(self._manip_fn(ema, enc, dec, x_0, x_T,
                                          decode_style, class_id, scale))
         grid = np.concatenate([to_uint8(np.asarray(x_0)), to_uint8(imgs)])
         path = os.path.join(self.run_path, "samples",

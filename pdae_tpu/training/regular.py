@@ -133,9 +133,9 @@ class RegularDiffusionTrainer(BaseTrainer):
         # its slice, primary gathers -- output is process-count-invariant
         x_T = jax.random.normal(key, (n,) + self.sample_shape)
         local, offset = self._eval_shard(n)
+        ema = self._eval_local(self.state.ema_params)
         imgs = (np.asarray(self._sample_fn(
-                    self.state.ema_params, x_T[offset:offset + local],
-                    ddim_style))
+                    ema, x_T[offset:offset + local], ddim_style))
                 if local else np.zeros((0,) + self.sample_shape, np.float32))
         all_imgs = self._gather_eval_images(imgs)
         if all_imgs is None:

@@ -174,8 +174,9 @@ class RepresentationLearningTrainer(BaseTrainer):
         x_T = jax.random.normal(key, x_0.shape)
         local, offset = self._eval_shard(x_0.shape[0])
         sl = slice(offset, offset + local)
-        imgs = (np.asarray(self._sample_fn(self.state.ema_params,
-                                           self.frozen_params,
+        ema = self._eval_local(self.state.ema_params)
+        frozen = self._eval_local(self.frozen_params)
+        imgs = (np.asarray(self._sample_fn(ema, frozen,
                                            (x_0[sl], x_T[sl]), ddim_style))
                 if local else np.zeros((0,) + x_0.shape[1:], np.float32))
         all_imgs = self._gather_eval_images(imgs)

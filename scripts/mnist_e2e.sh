@@ -29,7 +29,8 @@ for f in train-images-idx3-ubyte.gz train-labels-idx1-ubyte.gz \
 done
 
 python scripts/train.py --config_path configs/mnist_regular.yml \
-    --run_path "$RUN" --max_steps "$STEPS" "${PLATFORM_ARGS[@]}"
+    --run_path "$RUN" --max_steps "$STEPS" \
+    ${PLATFORM_ARGS[@]+"${PLATFORM_ARGS[@]}"}
 
 # sampler config pointing at the finished run
 SAMPLER_CFG="$RUN/test_dpms.yml"
@@ -46,5 +47,5 @@ ddim_style: ddim100
 output_path: $RUN/samples/test_dpms_result.png
 EOF
 python scripts/sample.py --sampler test_dpms --config "$SAMPLER_CFG" \
-    "${PLATFORM_ARGS[@]}"
+    ${PLATFORM_ARGS[@]+"${PLATFORM_ARGS[@]}"}
 echo "MNIST e2e complete: grid at $RUN/samples/test_dpms_result.png"

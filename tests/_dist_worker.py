@@ -85,8 +85,28 @@ all_x = np.concatenate([np.random.RandomState(100 + r).randn(
     LOCAL_B, DIM).astype(np.float32) for r in range(num_procs)])
 out["numpy_global_loss"] = float(np.mean((all_x @ np.asarray(w)) ** 2))
 
-# --- primary-gated eval gather (BaseTrainer._gather_eval_images) -------- #
+# --- per-process eval compute on _eval_local copies ---------------------- #
+# trainer evaluate() shards eval work with DIFFERENT shapes per process
+# (even zero on some ranks); jitting over the GLOBAL replicated params
+# would be a collective and deadlock.  _eval_local() copies them
+# process-local first -- verify the whole pattern completes with
+# divergent shapes across ranks.
 from pdae_tpu.training.base import BaseTrainer
+
+w_local = BaseTrainer._eval_local(object(), w)
+local_n_eval = 3 if proc_id == 0 else 2
+
+
+@jax.jit
+def eval_fn(w, x):
+    return jnp.tanh(x @ w)
+
+
+eval_out = eval_fn(jnp.asarray(w_local),
+                   jnp.ones((local_n_eval, DIM), jnp.float32))
+out["eval_local_shape"] = list(eval_out.shape)
+
+# --- primary-gated eval gather (BaseTrainer._gather_eval_images) -------- #
 
 local_n = dispatch_num_samples_for_process(5)
 offset = sum(dispatch_num_samples_for_process(5, rank=r)

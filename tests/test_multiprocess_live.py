@@ -109,3 +109,10 @@ def test_primary_gated_eval_gather(results):
     assert shape == [5, 2, 2, 3]
     # rank-ordered concatenation: first 3 images from rank 0, then 2 from 1
     assert rank_of_img == [0.0, 0.0, 0.0, 1.0, 1.0]
+
+
+def test_eval_local_divergent_shapes(results):
+    """Per-process eval compute on _eval_local param copies completes with
+    DIFFERENT shapes per rank (would deadlock on global arrays)."""
+    assert results[0]["eval_local_shape"] == [3, 1]
+    assert results[1]["eval_local_shape"] == [2, 1]
