@@ -102,9 +102,12 @@ class SamplerContext:
             return
         pdae_cfg = self._pdae_cfg or _load_cfg(self.config["config_path"])
         ds_cfg = self.config.get("dataset_config", {})
-        size = int(ds_cfg.get("image_size",
-                              pdae_cfg["train_dataset_config"]["image_size"]))
-        chans = int(ds_cfg.get("image_channel", 3))
+        train_ds = pdae_cfg["train_dataset_config"]
+        size = int(self.config.get(
+            "image_size", ds_cfg.get("image_size", train_ds["image_size"])))
+        chans = int(self.config.get(
+            "image_channel",
+            ds_cfg.get("image_channel", train_ds.get("image_channel", 3))))
         latent_dim = int(pdae_cfg["encoder_config"]["latent_dim"])
         self.latent_dim = latent_dim
 

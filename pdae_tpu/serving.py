@@ -1,0 +1,186 @@
+"""Batched inference service over a trained PDAE stack.
+
+The reference exposes inference only as one-shot torchrun scripts
+(``/root/reference/sampler/*.py``); production serving needs resident
+models and compile-once execution.  ``PDAEService`` loads the stage
+artifacts once (through the same ``SamplerContext``/checkpoint machinery
+as the sampler suite), pads request batches to power-of-two buckets so
+each op compiles one XLA program per bucket (cached thereafter), and
+shards batches over every local chip (``parallel.pad_shard_batch``) --
+one process saturates a whole host.
+
+Ops (gated by the artifacts present in the config):
+  * ``encode(images)``                -> z             [needs PDAE ckpt]
+  * ``autoencode(images)``            -> reconstructions
+  * ``generate(n, seed)``             -> samples       [+ latent ckpt + stats]
+  * ``manipulate(images, attribute, scale)`` -> edits  [+ classifier ckpt]
+
+``scripts/serve.py`` wraps this in a stdlib JSON-over-HTTP server.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .parallel import local_mesh, pad_shard_batch, replicate
+from .sampling.context import SamplerContext
+from .utils import to_uint8
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Next power-of-two >= n, capped at max_batch."""
+    return min(1 << max(0, (n - 1)).bit_length(), max_batch)
+
+
+class PDAEService:
+    """Resident PDAE inference service (see module docstring).
+
+    ``config`` uses the same keys as the sampler YAMLs: ``config_path`` +
+    ``checkpoint_path`` (PDAE stage), optional ``latent_config_path`` +
+    ``latent_checkpoint_path`` + ``inferred_latents_path`` (generation),
+    optional ``classifier_checkpoint_path`` (manipulation), plus
+    ``image_size`` / ``image_channel`` / ``max_batch``.
+    """
+
+    def __init__(self, config: dict):
+        self.config = config
+        self.ctx = SamplerContext(config)
+        self.ctx.build_pdae()
+        self.size = int(config.get(
+            "image_size",
+            self.ctx._pdae_cfg["train_dataset_config"]["image_size"]))
+        self.channels = int(config.get("image_channel", 3))
+        self.max_batch = int(config.get("max_batch", 64))
+        self._mesh = local_mesh()
+        self._stats = None
+        self._clf_weight = None
+        ctx = self.ctx
+
+        # params-first jitted programs; jax.jit caches one executable per
+        # (op, bucket-size) pair
+        gd = ctx.gd
+        self._autoencode_fn = jax.jit(
+            lambda ep, dp, x, es, ds: gd.representation_learning_autoencoding(
+                es, ds, lambda xx: ctx.enc_apply(ep, xx),
+                lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz), x),
+            static_argnums=(3, 4))
+        self._encode_fn = jax.jit(ctx.enc_apply)
+        self._decode_fn = jax.jit(
+            lambda dp, z, x_T, ds: gd.representation_learning_ddim_sample(
+                ds, None, lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
+                None, x_T, z),
+            static_argnums=(3,))
+        self._encode_xt_fn = jax.jit(
+            lambda ep, dp, x, es: gd.representation_learning_ddim_encode(
+                es, lambda xx: ctx.enc_apply(ep, xx),
+                lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz), x),
+            static_argnums=(3,))
+        self._generate_fn = None
+        self._manip_fn = None
+
+    # -- helpers --------------------------------------------------------- #
+
+    def _to_model_input(self, images: np.ndarray) -> jnp.ndarray:
+        """uint8 [N,H,W,C] (or float in [-1,1]) -> float32 [-1,1]."""
+        arr = np.asarray(images)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return jnp.asarray(arr, jnp.float32)
+
+    def _pad_bucket_shard(self, x: jnp.ndarray):
+        """Pad the batch to its bucket, then shard over local chips."""
+        n = int(x.shape[0])
+        if n > self.max_batch:
+            raise ValueError(f"batch {n} exceeds max_batch {self.max_batch}")
+        b = _bucket(n, self.max_batch)
+        if b > n:
+            x = jnp.concatenate([x, jnp.repeat(x[:1], b - n, axis=0)], axis=0)
+        sharded, _ = pad_shard_batch(self._mesh, x)
+        return sharded, n
+
+    # -- ops ------------------------------------------------------------- #
+
+    def encode(self, images) -> np.ndarray:
+        """images -> semantic latents z [N, latent_dim]."""
+        x, n = self._pad_bucket_shard(self._to_model_input(images))
+        return np.asarray(self._encode_fn(self.ctx.enc_params, x))[:n]
+
+    def autoencode(self, images, encode_style: Optional[str] = None,
+                   decode_style: Optional[str] = None) -> np.ndarray:
+        """images -> reconstructions (uint8), the SSIM-0.994 path."""
+        es = encode_style or self.config.get("encoder_ddim_style", "ddim100")
+        ds = decode_style or self.config.get("decoder_ddim_style", "ddim100")
+        x, n = self._pad_bucket_shard(self._to_model_input(images))
+        out = self._autoencode_fn(self.ctx.enc_params, self.ctx.dec_params,
+                                  x, es, ds)
+        return to_uint8(np.asarray(out)[:n])
+
+    def generate(self, n: int, seed: int = 0,
+                 latent_style: Optional[str] = None,
+                 decode_style: Optional[str] = None) -> np.ndarray:
+        """Unconditional samples via the latent DPM (uint8 [n,H,W,C])."""
+        ctx = self.ctx
+        if self._generate_fn is None:
+            ctx.build_latent()
+            self._stats = ctx.latent_stats()
+            gd = ctx.gd
+
+            def fn(lp, dp, z_T, x_T, ls, ds):
+                return gd.latent_diffusion_sample(
+                    None, ls, ds,
+                    lambda zt, tt: ctx.latent_apply(lp, zt, tt),
+                    lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
+                    x_T, self._stats[0], self._stats[1],
+                    latent_dim=ctx.latent_input_channel, z_T=z_T)
+
+            self._generate_fn = jax.jit(fn, static_argnums=(4, 5))
+        ls = latent_style or self.config.get("latent_ddim_style", "ddim100")
+        ds = decode_style or self.config.get("decoder_ddim_style", "ddim100")
+        key = jax.random.PRNGKey(seed)
+        zk, xk = jax.random.split(key)
+        b = _bucket(n, self.max_batch)
+        if n > self.max_batch:
+            raise ValueError(f"n {n} exceeds max_batch {self.max_batch}")
+        z_T = jax.random.normal(zk, (b, ctx.latent_input_channel))
+        x_T = jax.random.normal(
+            xk, (b, self.size, self.size, self.channels))
+        x_T, _ = pad_shard_batch(self._mesh, x_T)
+        z_T, _ = pad_shard_batch(self._mesh, z_T)
+        out = self._generate_fn(ctx.lat_params, ctx.dec_params, z_T, x_T,
+                                ls, ds)
+        return to_uint8(np.asarray(out)[:n])
+
+    def manipulate(self, images, attribute=None, class_id: int = 31,
+                   scale: float = 0.3, encode_style: Optional[str] = None,
+                   decode_style: Optional[str] = None) -> np.ndarray:
+        """Semantic attribute edit (reference manipulation sampler)."""
+        ctx = self.ctx
+        if self._clf_weight is None:
+            self._stats = self._stats or ctx.latent_stats()
+            self._clf_weight = ctx.classifier_weight()
+        if attribute is not None:
+            from .data.datasets import CELEBAHQ
+            class_id = CELEBAHQ.LABEL_TO_ID.get(attribute, class_id)
+        es = encode_style or self.config.get("encode_ddim_style", "ddim500")
+        ds = decode_style or self.config.get("decode_ddim_style", "ddim200")
+        if self._manip_fn is None:
+            gd = ctx.gd
+
+            def fn(ep, dp, w, x, xt, s, cid, dstyle):
+                return gd.manipulation_sample(
+                    dstyle, w, lambda xx: ctx.enc_apply(ep, xx),
+                    lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
+                    x, xt, self._stats[0], self._stats[1], cid, s)
+
+            self._manip_fn = jax.jit(fn, static_argnums=(6, 7))
+        x, n = self._pad_bucket_shard(self._to_model_input(images))
+        x_T = self._encode_xt_fn(ctx.enc_params, ctx.dec_params, x, es)
+        out = self._manip_fn(ctx.enc_params, ctx.dec_params,
+                             self._clf_weight, x, x_T,
+                             jnp.float32(scale), int(class_id), ds)
+        return to_uint8(np.asarray(out)[:n])

@@ -223,13 +223,33 @@ class BaseTrainer:
     # -- checkpointing --------------------------------------------------- #
 
     def save(self, step: int, snapshot: bool = False):
+        """Checkpoint without stalling the device: the device->host copy
+        happens here (cheap), serialization + disk write in a background
+        thread (writes are atomic tmp+rename, utils/checkpoint.py).  The
+        reference blocks training for the whole torch.save
+        (train_regular_diffusion.py:180-201)."""
         if not is_primary():
             return
         sd = {"step": np.asarray(step, np.int32), **self.state_dict()}
+        sd = jax.device_get(sd)
+        self._join_save()
         latest = os.path.join(self.run_path, "checkpoints", "latest.ckpt")
-        save_checkpoint(latest, sd)
-        if snapshot:
-            save_checkpoint(snapshot_path(self.run_path, step), sd)
+        paths = [latest] + ([snapshot_path(self.run_path, step)]
+                            if snapshot else [])
+
+        def _write():
+            for p in paths:
+                save_checkpoint(p, sd)
+
+        import threading
+        self._save_thread = threading.Thread(target=_write, daemon=False)
+        self._save_thread.start()
+
+    def _join_save(self):
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
 
     # -- loop ------------------------------------------------------------ #
 
@@ -305,4 +325,5 @@ class BaseTrainer:
         # final save: short runs and preempted runs always leave a checkpoint
         if step != last_saved:
             self.save(step)
+        self._join_save()   # don't return (or exit) with a write in flight
         return step

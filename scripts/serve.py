@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""JSON-over-HTTP inference server for a trained PDAE stack (stdlib only).
+
+Wraps ``pdae_tpu.serving.PDAEService``.  Endpoints:
+
+  GET  /healthz                -> {"ok": true, "ops": [...]}
+  POST /encode      {"images": [<b64 png>, ...]}            -> {"z": [[...]]}
+  POST /autoencode  {"images": [...], "encode_style"?, "decode_style"?}
+                                                            -> {"images": [...]}
+  POST /generate    {"num_samples": N, "seed"?, ...}        -> {"images": [...]}
+  POST /manipulate  {"images": [...], "attribute"|"class_id", "scale"?, ...}
+                                                            -> {"images": [...]}
+
+Images travel as base64-encoded PNG.  Requests are served sequentially
+(one device queue); batching happens per request.
+
+  python scripts/serve.py --config configs/sampler/unconditional_sample.yml \
+      --port 8080 [--platform cpu]
+"""
+
+import argparse
+import base64
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _png_to_array(b64: str, channels: int = 3):
+    import numpy as np
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    img = img.convert("RGB" if channels == 3 else "L")
+    arr = np.asarray(img, np.uint8)
+    return arr[..., None] if channels == 1 else arr
+
+
+def _array_to_png(arr) -> str:
+    from PIL import Image
+    buf = io.BytesIO()
+    img = arr[..., 0] if arr.shape[-1] == 1 else arr
+    Image.fromarray(img).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_handler(service, lock):
+    import numpy as np
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                ops = ["encode", "autoencode"]
+                if service.config.get("latent_checkpoint_path"):
+                    ops.append("generate")
+                if service.config.get("classifier_checkpoint_path"):
+                    ops.append("manipulate")
+                self._reply(200, {"ok": True, "ops": ops})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                with lock:
+                    if self.path == "/encode":
+                        x = np.stack([_png_to_array(b, service.channels)
+                                      for b in req["images"]])
+                        z = service.encode(x)
+                        self._reply(200, {"z": z.tolist()})
+                    elif self.path == "/autoencode":
+                        x = np.stack([_png_to_array(b, service.channels)
+                                      for b in req["images"]])
+                        out = service.autoencode(
+                            x, req.get("encode_style"),
+                            req.get("decode_style"))
+                        self._reply(200, {"images": [
+                            _array_to_png(im) for im in out]})
+                    elif self.path == "/generate":
+                        out = service.generate(
+                            int(req.get("num_samples", 1)),
+                            seed=int(req.get("seed", 0)),
+                            latent_style=req.get("latent_style"),
+                            decode_style=req.get("decode_style"))
+                        self._reply(200, {"images": [
+                            _array_to_png(im) for im in out]})
+                    elif self.path == "/manipulate":
+                        x = np.stack([_png_to_array(b, service.channels)
+                                      for b in req["images"]])
+                        out = service.manipulate(
+                            x, attribute=req.get("attribute"),
+                            class_id=int(req.get("class_id", 31)),
+                            scale=float(req.get("scale", 0.3)),
+                            encode_style=req.get("encode_style"),
+                            decode_style=req.get("decode_style"))
+                        self._reply(200, {"images": [
+                            _array_to_png(im) for im in out]})
+                    else:
+                        self._reply(404, {"error": "not found"})
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import threading
+
+    from pdae_tpu.serving import PDAEService
+    from pdae_tpu.utils import load_yaml
+
+    service = PDAEService(load_yaml(args.config))
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service, threading.Lock()))
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""PDAEService + HTTP server tests against a tiny trained stack.
+
+Serving is the production inference surface (pdae_tpu/serving.py): the
+reference offers only one-shot torchrun scripts; here resident models are
+exercised through the direct python API (encode/autoencode/generate/
+manipulate, bucketed batches, compile reuse) and the stdlib JSON-over-HTTP
+wrapper (scripts/serve.py) on a live localhost server.
+"""
+
+import base64
+import importlib.util
+import io
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+# reuse the trained tiny stack fixture (module-scoped rebuild)
+from test_samplers import (DDPM_MODEL, DIFFUSION, DS,  # noqa: F401
+                           _tiny_encoder, stack)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _service_config(stack, **extra):
+    return {
+        "config_path": stack["pdae_cfg"],
+        "checkpoint_path": stack["pdae_ckpt"],
+        "trained_ddpm_config_path": {"denoise_fn_config": DDPM_MODEL},
+        "image_size": 16, "image_channel": 1, "max_batch": 8,
+        "encoder_ddim_style": "ddim5", "decoder_ddim_style": "ddim5",
+        "latent_config_path": stack["latent_cfg"],
+        "latent_checkpoint_path": stack["lat_ckpt"],
+        "inferred_latents_path": stack["latents"],
+        "classifier_checkpoint_path": stack["manip_ckpt"],
+        "num_classes": 5,
+        "encode_ddim_style": "ddim5", "decode_ddim_style": "ddim5",
+        **extra,
+    }
+
+
+@pytest.fixture(scope="module")
+def service(stack):
+    from pdae_tpu.serving import PDAEService
+    return PDAEService(_service_config(stack))
+
+
+def _images(n):
+    rs = np.random.RandomState(0)
+    return rs.randint(0, 256, (n, 16, 16, 1), np.uint8)
+
+
+def test_encode_and_autoencode(service):
+    imgs = _images(3)                    # 3 -> bucket 4
+    z = service.encode(imgs)
+    assert z.shape == (3, 8)
+    recon = service.autoencode(imgs)
+    assert recon.shape == (3, 16, 16, 1) and recon.dtype == np.uint8
+    # bucketed padding must not leak: same input alone gives same output
+    recon1 = service.autoencode(imgs[:1])
+    np.testing.assert_array_equal(recon1[0], recon[0])
+
+
+def test_generate_deterministic(service):
+    a = service.generate(2, seed=7)
+    b = service.generate(2, seed=7)
+    c = service.generate(2, seed=8)
+    assert a.shape == (2, 16, 16, 1)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_manipulate(service):
+    out = service.manipulate(_images(2), class_id=2, scale=0.3)
+    assert out.shape == (2, 16, 16, 1) and out.dtype == np.uint8
+
+
+def test_max_batch_guard(service):
+    with pytest.raises(ValueError):
+        service.encode(_images(9))       # max_batch 8
+
+
+@pytest.fixture(scope="module")
+def http_server(service):
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", os.path.join(REPO, "scripts", "serve.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from http.server import ThreadingHTTPServer
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), mod.make_handler(service, threading.Lock()))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", mod
+    server.shutdown()
+
+
+def _post(url, path, obj):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_http_healthz_and_generate(http_server):
+    url, mod = http_server
+    with urllib.request.urlopen(url + "/healthz") as r:
+        health = json.loads(r.read())
+    assert health["ok"] and "generate" in health["ops"]
+
+    out = _post(url, "/generate", {"num_samples": 2, "seed": 1})
+    assert len(out["images"]) == 2
+    arr = mod._png_to_array(out["images"][0], channels=1)
+    assert arr.shape == (16, 16, 1)
+
+
+def test_http_autoencode_roundtrip(http_server):
+    url, mod = http_server
+    imgs = _images(2)
+    payload = {"images": [mod._array_to_png(im) for im in imgs]}
+    out = _post(url, "/autoencode", payload)
+    assert len(out["images"]) == 2
+    arr = mod._png_to_array(out["images"][0], channels=1)
+    assert arr.shape == (16, 16, 1)
+
+
+def test_http_error_is_json(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(
+        url + "/generate", data=b'{"num_samples": 999}',
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert e.code == 400 and "max_batch" in body["error"]
