@@ -58,8 +58,17 @@ class Loader:
             idx = np.concatenate([idx, idx[:pad]])
         return idx[self.rank::self.world]
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        """One pass over this process's shard."""
+    def batches_per_epoch(self) -> int:
+        idx_len = len(self._epoch_indices(0))
+        return (idx_len // self.batch_size if self.drop_last
+                else -(-idx_len // self.batch_size))
+
+    def epoch(self, epoch: int = 0, skip_batches: int = 0) -> Iterator[dict]:
+        """One pass over this process's shard.
+
+        ``skip_batches`` fast-forwards within the epoch WITHOUT decoding
+        the skipped images (resume determinism: a resumed run consumes
+        exactly the batches an uninterrupted run would)."""
         idx = self._epoch_indices(epoch)
         nb = len(idx) // self.batch_size if self.drop_last else -(
             -len(idx) // self.batch_size)
@@ -77,7 +86,7 @@ class Loader:
         # teardown errors when the generator is abandoned mid-epoch)
         if getattr(self, "_pool", None) is None:
             self._pool = cf.ThreadPoolExecutor(self.num_workers)
-        for b in range(nb):
+        for b in range(skip_batches, nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             items = list(self._pool.map(fetch, chunk))
             yield self.collate(items)
@@ -88,11 +97,14 @@ class Loader:
         except TypeError:
             return self.dataset[i]
 
-    def infinite(self, start_epoch: int = 0) -> Iterator[dict]:
-        """Endless batches, new shuffle each epoch (base_trainer.py:112-125)."""
+    def infinite(self, start_epoch: int = 0,
+                 skip_batches: int = 0) -> Iterator[dict]:
+        """Endless batches, new shuffle each epoch (base_trainer.py:112-125).
+        ``skip_batches`` applies to the first epoch only (resume)."""
         epoch = start_epoch
         while True:
-            yield from self.epoch(epoch)
+            yield from self.epoch(epoch, skip_batches)
+            skip_batches = 0
             epoch += 1
 
 

@@ -147,9 +147,15 @@ class BaseTrainer:
             shuffle=True, seed=self.seed,
             num_workers=int(dl.get("num_workers", 4)))
 
-    def _batch_iterator(self) -> Iterator[dict]:
-        return prefetch_to_device(self.loader.infinite(), size=2,
-                                  sharding=self.batch_sharding)
+    def _batch_iterator(self, start_step: int = 0) -> Iterator[dict]:
+        """Batch stream, fast-forwarded so step N always consumes the batch
+        an uninterrupted run would (bitwise-deterministic resume; the
+        reference restarts its data cycle on --resume,
+        base_trainer.py:112-125, so its resumed runs repeat data)."""
+        epoch, offset = divmod(start_step, self.loader.batches_per_epoch())
+        return prefetch_to_device(
+            self.loader.infinite(start_epoch=epoch, skip_batches=offset),
+            size=2, sharding=self.batch_sharding)
 
     # -- multi-process eval helpers --------------------------------------- #
 
@@ -262,7 +268,7 @@ class BaseTrainer:
 
         meters = Meters()
         losses = collections.defaultdict(list)
-        it = self._batch_iterator()
+        it = self._batch_iterator(self.start_step)
         step = self.start_step
         last_saved = step
         if self.profile_dir and is_primary():

@@ -116,3 +116,32 @@ def test_ema_every_gating():
     # step 3 with every=2: unchanged
     out = maybe_ema_update(jnp.asarray(3), ema, params, 0.5, 2)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
+
+
+def test_resume_is_bitwise_deterministic(tmp_path):
+    """A preempted-and-resumed run reproduces the uninterrupted run
+    EXACTLY: the loader fast-forwards to the batch an uninterrupted run
+    would consume (the reference restarts its data cycle on --resume and
+    diverges), and params/opt-state/EMA round-trip losslessly."""
+    cfg = {**TINY_CONFIG,
+           "runner_config": {**TINY_CONFIG["runner_config"],
+                             "save_latest_every_steps": 10**6}}
+
+    run_a = str(tmp_path / "straight")
+    tr_a = RegularDiffusionTrainer(config=cfg, run_path=run_a)
+    tr_a.train(max_steps=9)   # crosses an epoch boundary (64/8 = 8 b/epoch)
+
+    run_b = str(tmp_path / "resumed")
+    tr_b1 = RegularDiffusionTrainer(config=cfg, run_path=run_b)
+    tr_b1.train(max_steps=5)  # final save leaves latest.ckpt at step 5
+    tr_b2 = RegularDiffusionTrainer(config=cfg, run_path=run_b,
+                                    resume="latest")
+    assert tr_b2.start_step == 5
+    tr_b2.train(max_steps=9)
+
+    flat_a = jax.tree_util.tree_leaves(
+        {"p": tr_a.state.params, "e": tr_a.state.ema_params})
+    flat_b = jax.tree_util.tree_leaves(
+        {"p": tr_b2.state.params, "e": tr_b2.state.ema_params})
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
