@@ -244,3 +244,35 @@ def test_lmdb_scale_depth3(tmp_path):
         for i in probes:
             k = b"256-%07d" % i
             assert nr.get(k) == items[k], i
+
+
+def test_horse_bedroom_key_formats(tmp_path):
+    """HORSE/BEDROOM use 256-%07d keys over multi-million-entry LMDBs
+    (reference dataset/horse.py:34-40, bedroom.py:34-40); verify the key
+    formatting and decode path on a small stand-in LMDB."""
+    import io
+
+    from PIL import Image
+
+    from pdae_tpu.data.datasets import BEDROOM, HORSE
+    from pdae_tpu.data.lmdb_store import write_lmdb
+
+    rs = np.random.RandomState(0)
+    jpegs = {}
+    for i in range(3):
+        buf = io.BytesIO()
+        Image.fromarray(rs.randint(0, 255, (256, 256, 3), np.uint8)).save(
+            buf, format="JPEG", quality=90)
+        jpegs[(b"256-%07d" % i)] = buf.getvalue()
+    path = str(tmp_path / "lsun")
+    write_lmdb(path, jpegs)
+
+    for cls, expect_len in ((HORSE, 2000340), (BEDROOM, 3033042)):
+        ds = cls({"data_path": path, "image_size": 128, "image_channel": 3,
+                  "augmentation": False})
+        assert len(ds) == expect_len            # reference split sizes
+        item = ds[2]
+        assert item["x_0"].shape == (128, 128, 3)
+        assert item["gt"].dtype == np.uint8
+        with pytest.raises(KeyError):
+            ds[5]                               # missing key is loud
