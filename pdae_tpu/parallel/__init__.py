@@ -1,13 +1,17 @@
-from .mesh import (DATA_AXIS, data_sharding, local_mesh, make_mesh,
-                   pad_shard_batch, replicate, replicated, shard_batch)
+from .mesh import (DATA_AXIS, data_sharding, fsdp_sharding, fsdp_shardings,
+                   local_mesh, make_mesh, pad_shard_batch, replicate,
+                   replicated, shard_batch, shard_tree_fsdp)
 from .dist import (dispatch_num_samples_for_process, gather_objects,
+                   host_copy_tree,
                    init_distributed, is_primary, process_count, process_index,
                    process_shard_indices, sync_global_devices)
 
 __all__ = [
-    "DATA_AXIS", "data_sharding", "local_mesh", "make_mesh",
-    "pad_shard_batch", "replicate", "replicated", "shard_batch",
+    "DATA_AXIS", "data_sharding", "fsdp_sharding", "fsdp_shardings",
+    "local_mesh", "make_mesh", "pad_shard_batch", "replicate", "replicated",
+    "shard_batch", "shard_tree_fsdp",
     "dispatch_num_samples_for_process", "gather_objects",
+    "host_copy_tree",
     "init_distributed", "is_primary", "process_count", "process_index",
     "process_shard_indices", "sync_global_devices",
 ]

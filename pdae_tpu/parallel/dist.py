@@ -106,3 +106,24 @@ def sync_global_devices(name: str = "barrier") -> None:
         return
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)
+
+
+def host_copy_tree(tree):
+    """Full host (numpy) copy of a pytree whose leaves may be globally
+    sharded jax.Arrays with non-addressable shards (FSDP mode in
+    multi-process runs).  Collective: every process must call it.
+
+    Per leaf: fully-addressable arrays are plain device_get; sharded
+    global arrays are all-gathered (``process_allgather(tiled=True)``
+    reassembles the original global shape); host arrays pass through.
+    """
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if not isinstance(x, jax.Array):
+            return x
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    return jax.tree_util.tree_map(one, tree)

@@ -57,6 +57,42 @@ def local_mesh(axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(jax.local_devices()), (axis_name,))
 
 
+def fsdp_sharding(mesh: Mesh, shape, axis_name: str = DATA_AXIS,
+                  min_size: int = 2 ** 15) -> NamedSharding:
+    """ZeRO-3-style sharding for one param leaf: shard the largest
+    mesh-divisible dim over the data axis; small leaves stay replicated.
+
+    With batches sharded over the same axis, GSPMD all-gathers each param
+    for use and reduce-scatters its gradient -- FSDP semantics without any
+    model changes (the reference has no sharded-parameter mode at all;
+    its DDP keeps a full replica per rank, SURVEY.md §2.3)."""
+    if int(np.prod(shape)) < min_size:
+        return NamedSharding(mesh, P())
+    world = mesh.devices.size
+    dims = sorted(range(len(shape)), key=lambda i: shape[i], reverse=True)
+    for i in dims:
+        if shape[i] >= world and shape[i] % world == 0:
+            spec = [None] * len(shape)
+            spec[i] = axis_name
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def fsdp_shardings(mesh: Mesh, tree, axis_name: str = DATA_AXIS,
+                   min_size: int = 2 ** 15):
+    """Per-leaf ``fsdp_sharding`` pytree for a param/opt-state tree."""
+    return jax.tree_util.tree_map(
+        lambda x: fsdp_sharding(mesh, np.shape(x), axis_name, min_size),
+        tree)
+
+
+def shard_tree_fsdp(mesh: Mesh, tree, axis_name: str = DATA_AXIS,
+                    min_size: int = 2 ** 15):
+    """Lay a host/replicated pytree out FSDP-sharded over the mesh."""
+    sh = fsdp_shardings(mesh, tree, axis_name, min_size)
+    return jax.tree_util.tree_map(jax.device_put, tree, sh)
+
+
 def pad_shard_batch(mesh: Mesh, x, axis_name: str = DATA_AXIS):
     """Lay a host batch out sharded over the mesh's data axis, wrap-padding
     the batch to a device-count multiple.

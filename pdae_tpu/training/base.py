@@ -110,15 +110,26 @@ class BaseTrainer:
         self.mesh = make_mesh()
         self.batch_sharding = data_sharding(self.mesh)
         self.replicated = replicated(self.mesh)
+        # param placement: 'replicated' (reference-DDP-equivalent, default)
+        # or 'fsdp' (ZeRO-3: params/EMA/opt-state sharded over the data
+        # axis, all-gathered per use by GSPMD -- no reference counterpart)
+        self.param_sharding = self.runner_config.get(
+            "param_sharding", "replicated")
+        if self.param_sharding not in ("replicated", "fsdp"):
+            raise ValueError(f"runner_config.param_sharding must be "
+                             f"'replicated' or 'fsdp', got "
+                             f"{self.param_sharding!r}")
+        # leaves smaller than this stay replicated in fsdp mode
+        self.fsdp_min_size = int(self.runner_config.get(
+            "fsdp_min_size", 2 ** 15))
         # optional jax.profiler trace dir (reference uses wall-clock phase
         # meters only, SURVEY.md §5; we add real tracing)
         self.profile_dir = self.runner_config.get("profile_dir")
 
         self._build_datasets()
         self._build()          # subclass: models/state/step_fn
-        # replicate train state over the mesh so GSPMD sees replicated
-        # params (not device-0-pinned) against data-sharded batches
-        self.state = jax.device_put(self.state, self.replicated)
+        self._place_state()
+        self._enforce_state_sharding()
 
         self.start_step = 0
         latest = os.path.join(run_path, "checkpoints", "latest.ckpt")
@@ -127,6 +138,7 @@ class BaseTrainer:
             raw = load_checkpoint(path)
             self.load_state_dict(raw)
             self.start_step = int(raw["step"])
+            self._place_state()   # restored leaves are host arrays
         self.logger = Logger(run_path, enabled=is_primary(),
                              purge_step=self.start_step)
 
@@ -157,6 +169,51 @@ class BaseTrainer:
             self.loader.infinite(start_epoch=epoch, skip_batches=offset),
             size=2, sharding=self.batch_sharding)
 
+    # -- param placement --------------------------------------------------- #
+
+    def _place_state(self):
+        """Lay the train state out over the mesh: every chip holds a full
+        replica ('replicated', the reference's DDP memory model) or a 1/Nth
+        shard of every large leaf ('fsdp')."""
+        if self.param_sharding == "fsdp":
+            from ..parallel import shard_tree_fsdp
+            self.state = shard_tree_fsdp(self.mesh, self.state,
+                                         min_size=self.fsdp_min_size)
+        else:
+            self.state = jax.device_put(self.state, self.replicated)
+
+    def _place_frozen(self, tree):
+        """Placement for frozen (never-updated) stage params -- these are
+        the biggest memory consumers in the PDAE/latent/manipulation stages,
+        so FSDP mode shards them too."""
+        if self.param_sharding == "fsdp":
+            from ..parallel import shard_tree_fsdp
+            return shard_tree_fsdp(self.mesh, tree,
+                                   min_size=self.fsdp_min_size)
+        return jax.device_put(tree, self.replicated)
+
+    def _enforce_state_sharding(self):
+        """In FSDP mode, pin the train step's output state to the same
+        per-leaf shardings as its input.  Sharding propagation usually does
+        this on its own, but it is compiler-chosen; an explicit
+        ``out_shardings`` makes donation + persistence guaranteed rather
+        than incidental."""
+        if self.param_sharding != "fsdp":
+            return
+        from functools import partial as _partial
+
+        from ..parallel import fsdp_shardings
+        shardings = fsdp_shardings(self.mesh, self.state,
+                                   min_size=self.fsdp_min_size)
+        inner = self._train_step
+
+        @_partial(jax.jit, donate_argnums=0,
+                  out_shardings=(shardings, None))
+        def outer(state, *args):
+            return inner(state, *args)
+
+        self._train_step = outer
+
     # -- multi-process eval helpers --------------------------------------- #
 
     def _eval_shard(self, total: int):
@@ -179,6 +236,12 @@ class BaseTrainer:
         local.  Single-process (the common case): no copy."""
         if jax.process_count() == 1:
             return tree
+        # getattr: callable unbound with minimal stubs in tests
+        if getattr(self, "param_sharding", "replicated") == "fsdp":
+            # leaves have non-addressable shards; all-gather to the host
+            # (collective -- every process calls _eval_local in evaluate())
+            from ..parallel import host_copy_tree
+            return host_copy_tree(tree)
         return jax.device_get(tree)
 
     def _gather_eval_images(self, local_imgs: np.ndarray):
@@ -234,9 +297,14 @@ class BaseTrainer:
         thread (writes are atomic tmp+rename, utils/checkpoint.py).  The
         reference blocks training for the whole torch.save
         (train_regular_diffusion.py:180-201)."""
+        sd = {"step": np.asarray(step, np.int32), **self.state_dict()}
+        if self.param_sharding == "fsdp" and jax.process_count() > 1:
+            # sharded leaves are not host-addressable; all-gather first
+            # (collective -- save() is called from the loop on every process)
+            from ..parallel import host_copy_tree
+            sd = host_copy_tree(sd)
         if not is_primary():
             return
-        sd = {"step": np.asarray(step, np.int32), **self.state_dict()}
         sd = jax.device_get(sd)
         self._join_save()
         latest = os.path.join(self.run_path, "checkpoints", "latest.ckpt")

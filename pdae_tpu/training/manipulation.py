@@ -58,12 +58,10 @@ class ManipulationTrainer(BaseTrainer):
         dec_template = jax.jit(self.decoder.init)(init_key(1), x, t, z)["params"]
         # pin frozen stage params on device once (numpy leaves would be
         # re-uploaded on every step)
-        from ..parallel import replicated as _replicated
-        rep = _replicated(self.mesh)
-        self.encoder_params = jax.device_put(
-            restore_into(enc_template, enc_raw), rep)
-        self.decoder_params = jax.device_put(
-            restore_into(dec_template, dec_raw), rep)
+        self.encoder_params = self._place_frozen(
+            restore_into(enc_template, enc_raw))
+        self.decoder_params = self._place_frozen(
+            restore_into(dec_template, dec_raw))
 
         self.latents_mean, self.latents_std = load_latent_stats(
             self.config["inferred_latents"])

@@ -68,9 +68,8 @@ class RepresentationLearningTrainer(BaseTrainer):
 
         shift_params, frozen_params = split_shift_unet(dec_params)
         # pin the frozen trunk on device once (numpy leaves would be
-        # re-uploaded on every step)
-        self.frozen_params = jax.device_put(
-            frozen_params, self.replicated)   # never updated, bit-stable
+        # re-uploaded on every step); never updated, bit-stable
+        self.frozen_params = self._place_frozen(frozen_params)
         trainable = {"encoder": enc_params, "shift": shift_params}
 
         self.tx = make_optimizer(self.config["optimizer_config"])
@@ -217,7 +216,7 @@ class RepresentationLearningTrainer(BaseTrainer):
         ema_dec = restore_into(full_template, raw["ema_decoder"])
         shift, frozen = split_shift_unet(dec)
         ema_shift, _ = split_shift_unet(ema_dec)
-        self.frozen_params = jax.device_put(frozen, self.replicated)
+        self.frozen_params = self._place_frozen(frozen)
         opt = restore_into(self.state.opt_state, raw["optimizer"])
         self.state = self.state.replace(
             step=jnp.asarray(int(raw["step"]), jnp.int32),

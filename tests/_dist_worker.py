@@ -119,6 +119,41 @@ out["eval_gather"] = (None if merged is None
 out["is_primary"] = is_primary()
 out["eval_shard"] = [local_n, offset]
 
+# --- FSDP param sharding across processes -------------------------------- #
+# params sharded over the GLOBAL mesh (each process holds only its shards);
+# a jitted step keeps the sharding (out_shardings), and the trainer's
+# save/eval paths recover full host copies via process_allgather.
+from functools import partial
+
+from pdae_tpu.parallel import fsdp_shardings, shard_tree_fsdp
+
+fp = {"w": jnp.asarray(np.random.RandomState(3).randn(32, DIM)
+                       .astype(np.float32))}
+fp = shard_tree_fsdp(mesh, fp, min_size=64)
+fsh = fsdp_shardings(mesh, fp, min_size=64)
+out["fsdp_w_sharded"] = not fp["w"].sharding.is_fully_replicated
+
+
+@partial(jax.jit, donate_argnums=0, out_shardings=fsh)
+def fsdp_step(p):
+    return jax.tree_util.tree_map(lambda a: a * 0.5, p)
+
+
+fp = fsdp_step(fp)
+out["fsdp_w_still_sharded"] = not fp["w"].sharding.is_fully_replicated
+
+# save path: every process gathers, primary would write (BaseTrainer.save)
+from pdae_tpu.parallel import host_copy_tree
+
+host_tree = host_copy_tree(fp)
+out["fsdp_gather_shape"] = list(np.shape(host_tree["w"]))
+out["fsdp_gather_sum"] = float(np.sum(host_tree["w"]))
+
+# eval path: _eval_local with an fsdp-mode trainer stub
+stub = type("S", (), {"param_sharding": "fsdp"})()
+w_eval = BaseTrainer._eval_local(stub, fp)
+out["fsdp_eval_local_shape"] = list(np.shape(w_eval["w"]))
+
 sync_global_devices("done")
 
 with open(os.path.join(outdir, f"rank{proc_id}.json"), "w") as f:

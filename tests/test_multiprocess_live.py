@@ -116,3 +116,18 @@ def test_eval_local_divergent_shapes(results):
     DIFFERENT shapes per rank (would deadlock on global arrays)."""
     assert results[0]["eval_local_shape"] == [3, 1]
     assert results[1]["eval_local_shape"] == [2, 1]
+
+
+def test_fsdp_across_processes(results):
+    """Params sharded over the global mesh (each process holds only its
+    shards), sharding kept across a donated jitted step, full host copies
+    recovered on BOTH processes by the save/eval gather paths."""
+    expected = float(np.sum(np.random.RandomState(3)
+                            .randn(32, 16).astype(np.float32))) * 0.5
+    for r in (0, 1):
+        assert results[r]["fsdp_w_sharded"] is True
+        assert results[r]["fsdp_w_still_sharded"] is True
+        assert results[r]["fsdp_gather_shape"] == [32, 16]
+        assert results[r]["fsdp_gather_sum"] == pytest.approx(expected,
+                                                              rel=1e-5)
+        assert results[r]["fsdp_eval_local_shape"] == [32, 16]
