@@ -113,17 +113,33 @@ def host_copy_tree(tree):
     sharded jax.Arrays with non-addressable shards (FSDP mode in
     multi-process runs).  Collective: every process must call it.
 
-    Per leaf: fully-addressable arrays are plain device_get; sharded
-    global arrays are all-gathered (``process_allgather(tiled=True)``
-    reassembles the original global shape); host arrays pass through.
+    Fully-addressable leaves are plain device_get; the non-addressable
+    rest are all-gathered in ONE ``process_allgather(tiled=True)`` call
+    (this jax raises "only supports tiled=True" for global sharded
+    arrays; tiled reassembles the original global shape).  Leaves that
+    appear multiple times in the tree (e.g. a frozen trunk shared by the
+    'decoder' and 'ema_decoder' checkpoint subtrees) are gathered once.
     """
     from jax.experimental import multihost_utils
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    # dedupe by object identity, keyed by first-occurrence index so the
+    # gathered pytree structure is identical on every process (id() is not)
+    index_of = {}       # id(leaf) -> slot in uniq
+    uniq = []
+    for x in leaves:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if id(x) not in index_of:
+                index_of[id(x)] = len(uniq)
+                uniq.append(x)
+    gathered = (multihost_utils.process_allgather(uniq, tiled=True)
+                if uniq else [])
 
     def one(x):
         if not isinstance(x, jax.Array):
             return x
         if x.is_fully_addressable:
             return np.asarray(x)
-        return multihost_utils.process_allgather(x, tiled=True)
+        return gathered[index_of[id(x)]]
 
-    return jax.tree_util.tree_map(one, tree)
+    return jax.tree_util.tree_unflatten(treedef, [one(x) for x in leaves])

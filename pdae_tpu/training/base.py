@@ -343,11 +343,18 @@ class BaseTrainer:
             jax.profiler.start_trace(self.profile_dir)
 
         # preemption safety: checkpoint before dying on SIGTERM/SIGINT
-        # (the reference's only recovery is manual --resume; SURVEY.md §5)
-        stop = {"flag": False}
+        # (the reference's only recovery is manual --resume; SURVEY.md §5).
+        # Multi-process runs stop by CONSENSUS at the next display boundary
+        # (a signal may reach only some hosts; save/eval contain collectives
+        # in fsdp mode, so all processes must exit the loop at the same
+        # step -- the cheap flag all-gather piggybacks on the display sync)
+        multiproc = jax.process_count() > 1
+        stop = {"local": False, "flag": False}
 
         def _graceful(signum, frame):
-            stop["flag"] = True
+            stop["local"] = True
+            if not multiproc:
+                stop["flag"] = True
 
         old_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -383,6 +390,9 @@ class BaseTrainer:
                         + f" ({rate:.2f} it/s)", flush=True)
                 losses.clear()
                 meters.reset()
+                if multiproc:
+                    from ..parallel import gather_objects
+                    stop["flag"] = any(gather_objects([stop["local"]]))
                 t_end = time.perf_counter()
             if step % save_latest == 0:
                 self.save(step)

@@ -143,11 +143,13 @@ class ManipulationTrainer(BaseTrainer):
         # replicated arrays from one rank only would be a collective the
         # other processes never join (see BaseTrainer._eval_local).
         from ..parallel import is_primary
-        if not is_primary():
-            return
+        # _eval_local is a collective in fsdp multi-process mode: every
+        # process must reach it BEFORE the primary gate
         ema = self._eval_local(self.state.ema_params)
         enc = self._eval_local(self.encoder_params)
         dec = self._eval_local(self.decoder_params)
+        if not is_primary():
+            return
         items = [self.eval_dataset.__getitem__(i) for i in range(1)]
         batch = type(self.eval_dataset).collate_fn(items)
         x_0 = jnp.asarray(batch["x_0"])

@@ -149,6 +149,14 @@ host_tree = host_copy_tree(fp)
 out["fsdp_gather_shape"] = list(np.shape(host_tree["w"]))
 out["fsdp_gather_sum"] = float(np.sum(host_tree["w"]))
 
+# shared-leaf dedup: the same sharded array referenced twice (like the
+# frozen trunk inside 'decoder' and 'ema_decoder') gathers once and both
+# copies come back equal
+shared = host_copy_tree({"a": fp["w"], "b": fp["w"],
+                         "meta": np.int32(7)})
+out["fsdp_dedup_equal"] = bool(np.array_equal(shared["a"], shared["b"]))
+out["fsdp_dedup_meta"] = int(shared["meta"])
+
 # eval path: _eval_local with an fsdp-mode trainer stub
 stub = type("S", (), {"param_sharding": "fsdp"})()
 w_eval = BaseTrainer._eval_local(stub, fp)

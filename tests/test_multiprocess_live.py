@@ -131,3 +131,5 @@ def test_fsdp_across_processes(results):
         assert results[r]["fsdp_gather_sum"] == pytest.approx(expected,
                                                               rel=1e-5)
         assert results[r]["fsdp_eval_local_shape"] == [32, 16]
+        assert results[r]["fsdp_dedup_equal"] is True
+        assert results[r]["fsdp_dedup_meta"] == 7

@@ -145,3 +145,30 @@ def test_resume_is_bitwise_deterministic(tmp_path):
         {"p": tr_b2.state.params, "e": tr_b2.state.ema_params})
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigint_checkpoints_and_stops(tmp_path):
+    """Preemption safety: a SIGINT mid-run stops the loop promptly and
+    leaves a checkpoint (single-process: immediate; multi-process runs
+    reach consensus at the next display boundary instead)."""
+    import os as _os
+    import signal as _signal
+
+    run = str(tmp_path / "run")
+    tr = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run)
+    inner = tr._train_step
+    count = {"n": 0}
+
+    def wrapped(state, batch):
+        count["n"] += 1
+        if count["n"] == 2:
+            _os.kill(_os.getpid(), _signal.SIGINT)
+        return inner(state, batch)
+
+    tr._train_step = wrapped
+    stopped_at = tr.train(max_steps=50)
+    assert stopped_at == 2
+    assert os.path.exists(os.path.join(run, "checkpoints", "latest.ckpt"))
+    tr2 = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run,
+                                  resume="latest")
+    assert tr2.start_step == 2
