@@ -63,6 +63,11 @@ def main():
                    help="per-chip train batch (celeba64 config uses 32)")
     p.add_argument("--skip_128", action="store_true")
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--train_scan", type=int, default=0, metavar="K",
+                   help="also bench K train steps scanned into one XLA "
+                        "program (runner_config.steps_per_dispatch; "
+                        "opt-in: the scan program is a separate ~10min "
+                        "cold compile over the tunnel)")
     p.add_argument("--skip_host_baseline", action="store_true")
     args = p.parse_args()
 
@@ -229,9 +234,38 @@ def main():
             state, loss = step(state, frozen, x_0, keys[3 + i])
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / n_steps
-        return {"steps_per_sec": round(1.0 / dt, 3),
-                "imgs_per_sec": round(batch / dt, 1),
-                "batch": batch}
+        out = {"steps_per_sec": round(1.0 / dt, 3),
+               "imgs_per_sec": round(batch / dt, 1),
+               "batch": batch}
+
+        if args.train_scan > 1:
+            # runner_config.steps_per_dispatch equivalent: K steps in ONE
+            # program (removes the per-step dispatch gap, PERF.md)
+            from functools import partial
+            K = args.train_scan
+
+            @partial(jax.jit, donate_argnums=0)
+            def multi(state, frozen, xs, rngs):
+                def body(s, inp):
+                    xb, kk = inp
+                    return train_step(s, frozen, xb, kk)
+                return jax.lax.scan(body, state, (xs, rngs))
+
+            xs = jax.random.normal(key, (K,) + x_0.shape)
+            rngs = jax.random.split(jax.random.PRNGKey(1), K)
+            n_chunks = max(2, n_steps // K)
+            for _ in range(2):
+                state, loss = multi(state, frozen, xs, rngs)
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                state, loss = multi(state, frozen, xs, rngs)
+            jax.block_until_ready(loss)
+            dt = (time.perf_counter() - t0) / (n_chunks * K)
+            out["scan_k"] = K
+            out["scan_steps_per_sec"] = round(1.0 / dt, 3)
+            out["scan_imgs_per_sec"] = round(batch / dt, 1)
+        return out
 
     if args.quick:
         r = bench_sample(TINY_DPM, 16, 16, 8, reps=1)

@@ -214,6 +214,68 @@ class BaseTrainer:
 
         self._train_step = outer
 
+    # -- dispatch-amortized multi-step training ---------------------------- #
+
+    def _step_extra_args(self):
+        """Per-trainer pytrees the jitted step takes between ``state`` and
+        ``batch`` (frozen stage params).  Passed as jit ARGUMENTS -- closing
+        over them would bake multi-hundred-MB constants into the program
+        (rejected by the remote-compile endpoint, see sampling/context.py)."""
+        return ()
+
+    def _make_multi_step(self):
+        """K train steps as ONE XLA program: ``lax.scan`` of the per-step
+        function over a stacked [K, B, ...] batch.  Removes the per-step
+        host-dispatch gap (~10% of train wall time on a slow host, PERF.md);
+        the reference dispatches every micro-op from python."""
+        from functools import partial as _partial
+
+        inner = self._train_step
+
+        @_partial(jax.jit, donate_argnums=0)
+        def multi(state, extras, batches):
+            def body(s, b):
+                return inner(s, *extras, b)
+            return jax.lax.scan(body, state, batches)
+
+        return multi
+
+    @staticmethod
+    def _chunk_schedule(start_step: int, k: int, max_steps: Optional[int]):
+        """Chunk sizes covering (start_step, max_steps]: realign to
+        multiples of k first (resumes from signal-time checkpoints land on
+        arbitrary steps), then k at a time, then the tail.  At most 3
+        distinct sizes -> at most 3 compiled multi-step programs."""
+        s = start_step
+        while max_steps is None or s < max_steps:
+            c = k - s % k if s % k else k
+            if max_steps is not None:
+                c = min(c, max_steps - s)
+            yield c
+            s += c
+
+    def _chunked_batch_iterator(self, start_step: int, k: int,
+                                max_steps: Optional[int]) -> Iterator[dict]:
+        """Device stream of [chunk, B, ...] stacked batches (chunk dim
+        replicated, batch dim sharded).  Consumes the SAME host batch
+        sequence as the single-step iterator, so bitwise-deterministic
+        resume is preserved for any k."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import DATA_AXIS
+        epoch, offset = divmod(start_step, self.loader.batches_per_epoch())
+        host_it = self.loader.infinite(start_epoch=epoch, skip_batches=offset)
+
+        def stacked():
+            for c in self._chunk_schedule(start_step, k, max_steps):
+                bs = [next(host_it) for _ in range(c)]
+                yield {key: np.stack([b[key] for b in bs])
+                       for key in bs[0]}
+
+        return prefetch_to_device(
+            stacked(), size=2,
+            sharding=NamedSharding(self.mesh, P(None, DATA_AXIS)))
+
     # -- multi-process eval helpers --------------------------------------- #
 
     def _eval_shard(self, total: int):
@@ -334,9 +396,25 @@ class BaseTrainer:
         save_latest = int(rc.get("save_latest_every_steps", 1000))
         save_snap = int(rc.get("save_checkpoint_every_steps", 10000))
 
+        # steps_per_dispatch > 1: scan K steps inside one XLA program
+        # (boundary cadences must align with chunk ends)
+        k = int(rc.get("steps_per_dispatch", 1))
+        if k > 1:
+            for name, val in (("display_steps", display),
+                              ("evaluate_every_steps", eval_every),
+                              ("save_latest_every_steps", save_latest),
+                              ("save_checkpoint_every_steps", save_snap)):
+                if val % k:
+                    raise ValueError(
+                        f"runner_config.{name}={val} must be a multiple of "
+                        f"steps_per_dispatch={k}")
+            multi_step = self._make_multi_step()
+            extras = self._step_extra_args()
+
         meters = Meters()
         losses = collections.defaultdict(list)
-        it = self._batch_iterator(self.start_step)
+        it = (self._chunked_batch_iterator(self.start_step, k, max_steps)
+              if k > 1 else self._batch_iterator(self.start_step))
         step = self.start_step
         last_saved = step
         if self.profile_dir and is_primary():
@@ -364,19 +442,26 @@ class BaseTrainer:
                 pass
         t_end = time.perf_counter()
         while (max_steps is None or step < max_steps) and not stop["flag"]:
-            step += 1
             t0 = time.perf_counter()
             batch = next(it)
             t1 = time.perf_counter()
-            self.state, metrics = self.train_step(self.state, batch)
-            # keep DEVICE scalars (no host sync) every step; block once per
-            # display window when converting to floats
-            for k, v in metrics.items():
-                losses[k].append(v)
+            if k > 1:
+                # leading (chunk) dim is static array metadata, no sync
+                step += jax.tree_util.tree_leaves(batch)[0].shape[0]
+                self.state, metrics = multi_step(self.state, extras, batch)
+            else:
+                step += 1
+                self.state, metrics = self.train_step(self.state, batch)
+            # keep DEVICE scalars/arrays (no host sync) every step; block
+            # once per display window when converting to floats
+            for name, v in metrics.items():
+                losses[name].append(v)
             meters.add("load_data", t1 - t0)
             if step % display == 0:
-                avg = {k: float(np.mean([float(x) for x in v]))
-                       for k, v in losses.items()}
+                avg = {name: float(np.mean(np.concatenate(
+                           [np.atleast_1d(np.asarray(x, np.float64))
+                            for x in v])))
+                       for name, v in losses.items()}
                 t2 = time.perf_counter()
                 window = t2 - t_end
                 rate = display / window if step > display else 0.0

@@ -156,6 +156,9 @@ class LatentDiffusionTrainer(BaseTrainer):
     def train_step(self, state, batch):
         return self._train_step(state, self.encoder_params, batch)
 
+    def _step_extra_args(self):
+        return (self.encoder_params,)
+
     def evaluate(self, step: int, latent_ddim_style: str = "ddim100",
                  decoder_ddim_style: str = "ddim100"):
         n = int(self.dataloader_config.get("eval", {})

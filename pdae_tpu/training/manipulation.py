@@ -134,6 +134,9 @@ class ManipulationTrainer(BaseTrainer):
     def train_step(self, state, batch):
         return self._train_step(state, self.encoder_params, batch)
 
+    def _step_extra_args(self):
+        return (self.encoder_params,)
+
     def evaluate(self, step: int, encode_style: str = "ddim500",
                  decode_style: str = "ddim200", class_id: int = 31,
                  scale: float = 0.3):

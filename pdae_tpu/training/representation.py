@@ -162,6 +162,9 @@ class RepresentationLearningTrainer(BaseTrainer):
     def train_step(self, state, batch):
         return self._train_step(state, self.frozen_params, batch)
 
+    def _step_extra_args(self):
+        return (self.frozen_params,)
+
     def evaluate(self, step: int, ddim_style: str = "ddim100"):
         n = int(self.dataloader_config.get("eval", {})
                 .get("num_generations", 36))
