@@ -119,6 +119,24 @@ out["eval_gather"] = (None if merged is None
 out["is_primary"] = is_primary()
 out["eval_shard"] = [local_n, offset]
 
+# --- chunked (steps_per_dispatch) global batches -------------------------- #
+# stacked [K, B_local, ...] host chunks -> global [K, B_local*world, ...]
+# arrays sharded on dim 1 (training/base.py:_chunked_batch_iterator)
+chunk_sharding = NamedSharding(mesh, P(None, "data"))
+chunk_local = np.stack([local_x, local_x + 1.0])      # K=2
+cit = prefetch_to_device(iter([{"x": chunk_local}]), size=1,
+                         sharding=chunk_sharding)
+chunk = next(cit)["x"]
+out["chunk_global_shape"] = list(chunk.shape)
+
+
+@jax.jit
+def chunk_loss(x):
+    return jnp.mean(x ** 2, axis=(1, 2))   # per-chunk-step loss, shape [K]
+
+
+out["chunk_losses"] = [float(v) for v in chunk_loss(chunk)]
+
 # --- FSDP param sharding across processes -------------------------------- #
 # params sharded over the GLOBAL mesh (each process holds only its shards);
 # a jitted step keeps the sharding (out_shardings), and the trainer's

@@ -133,3 +133,16 @@ def test_fsdp_across_processes(results):
         assert results[r]["fsdp_eval_local_shape"] == [32, 16]
         assert results[r]["fsdp_dedup_equal"] is True
         assert results[r]["fsdp_dedup_meta"] == 7
+
+
+def test_chunked_global_batches(results):
+    """steps_per_dispatch chunks assemble into [K, B_local*world, ...]
+    global arrays (dim 1 sharded) and per-step losses are the cross-rank
+    values on every process."""
+    want = [float(np.mean(np.concatenate(
+               [np.random.RandomState(100 + r).randn(8, 16).astype(np.float32)
+                + k for r in range(2)]) ** 2)) for k in (0.0, 1.0)]
+    for r in (0, 1):
+        assert results[r]["chunk_global_shape"] == [2, 16, 16]
+        np.testing.assert_allclose(results[r]["chunk_losses"], want,
+                                   rtol=1e-5)

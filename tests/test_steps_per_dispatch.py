@@ -142,3 +142,17 @@ def test_multi_step_representation_trainer(tmp_path, monkeypatch):
             return [json.loads(l)["prediction_loss"] for l in f]
     np.testing.assert_allclose(losses(str(tmp_path / "s")),
                                losses(str(tmp_path / "m")), rtol=1e-4)
+
+
+def test_multi_step_with_grad_accumulation(tmp_path):
+    """steps_per_dispatch composes with num_iterations (micro-batch scan
+    inside each scanned step): loss finite, step count exact."""
+    cfg = _cfg(2, display_steps=4)
+    cfg["runner_config"]["num_iterations"] = 2   # micro-batch 4 x 2
+    tr = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "r"))
+    tr.train(max_steps=6)
+    assert int(tr.state.step) == 6
+    import json
+    with open(os.path.join(str(tmp_path / "r"), "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert rows and all(np.isfinite(r["prediction_loss"]) for r in rows)
