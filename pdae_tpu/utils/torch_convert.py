@@ -294,3 +294,177 @@ def convert_lpips_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
 def _numpy_sd(sd) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                           else v) for k, v in sd.items()}
+
+
+# --------------------------------------------------------------------------- #
+# Reverse direction: OUR checkpoints -> reference torch state dicts, so a
+# model trained here can be loaded by the reference code (two-way migration;
+# layouts are the exact inverses of the forward maps above).
+# --------------------------------------------------------------------------- #
+
+_EXPORT_RES_MAP = {
+    "in_norm": ("in_layers.0", "norm"),
+    "in_conv": ("in_layers.2", "conv2d"),
+    "emb_dense": ("emb_layers.1", "linear"),
+    "emb_z_dense": ("emb_z_layers.1", "linear"),
+    "out_norm": ("out_layers.0", "norm"),
+    "out_conv": ("out_layers.3", "conv2d"),
+    "skip_conv": ("skip_connection", "conv2d"),
+    "norm": ("norm", "norm"),
+    "qkv": ("qkv", "conv1d"),
+    "proj_out": ("proj_out", "conv1d"),
+}
+
+_EXPORT_BLOCK_RE = re.compile(
+    r"^(input_blocks|output_blocks|shift_output_blocks)_(\d+)_(\d+)$")
+_EXPORT_MID_RE = re.compile(r"^(middle_block|shift_middle_block)_(\d+)$")
+
+
+def _export_leaf(kind: str, leaf: str, value):
+    v = np.asarray(value)
+    if kind == "norm":
+        return ("weight" if leaf == "scale" else "bias"), v
+    if leaf == "bias":
+        return "bias", v
+    assert leaf == "kernel", leaf
+    if kind == "conv2d":       # [kh,kw,I,O] -> [O,I,kh,kw]
+        return "weight", v.transpose(3, 2, 0, 1)
+    if kind == "conv1d":       # [I,O] -> [O,I,1]
+        return "weight", v.T[:, :, None]
+    if kind == "linear":       # [I,O] -> [O,I]
+        return "weight", v.T
+    raise ValueError(kind)
+
+
+def _export_sub(sd, prefix: str, subtree: Dict):
+    for name, leaves in subtree.items():
+        torch_sub, kind = _EXPORT_RES_MAP[name]
+        for leaf, value in leaves.items():
+            pname, v = _export_leaf(kind, leaf, value)
+            sd[f"{prefix}.{torch_sub}.{pname}"] = v
+
+
+def export_unet_state_dict(tree: Dict) -> Dict[str, np.ndarray]:
+    """Flax UNet/ShiftUNet param dict -> torch state dict
+    (inverse of :func:`convert_unet_state_dict`)."""
+    sd: Dict[str, np.ndarray] = {}
+    for mod, sub in tree.items():
+        if mod == "time_embed":
+            for dense, idx in (("dense_0", "0"), ("dense_1", "2")):
+                for leaf, value in sub[dense].items():
+                    pname, v = _export_leaf("linear", leaf, value)
+                    sd[f"time_embed.{idx}.{pname}"] = v
+        elif mod == "label_emb":
+            if "embedding" in sub:   # class-conditional Embedding
+                sd["label_emb.weight"] = np.asarray(sub["embedding"])
+            else:                    # ShiftUNet latent Linear
+                for leaf, value in sub.items():
+                    pname, v = _export_leaf("linear", leaf, value)
+                    sd[f"label_emb.{pname}"] = v
+        elif mod == "input_blocks_0_0":   # stem conv
+            for leaf, value in sub.items():
+                pname, v = _export_leaf("conv2d", leaf, value)
+                sd[f"input_blocks.0.0.{pname}"] = v
+        elif _EXPORT_BLOCK_RE.match(mod):
+            group, i, j = _EXPORT_BLOCK_RE.match(mod).groups()
+            _export_sub(sd, f"{group}.{i}.{j}", sub)
+        elif _EXPORT_MID_RE.match(mod):
+            group, j = _EXPORT_MID_RE.match(mod).groups()
+            _export_sub(sd, f"{group}.{j}", sub)
+        elif mod in ("out_norm", "out_conv", "shift_out_norm",
+                     "shift_out_conv"):
+            prefix = "shift_out" if mod.startswith("shift_") else "out"
+            kind = "norm" if mod.endswith("norm") else "conv2d"
+            idx = "0" if mod.endswith("norm") else "2"
+            for leaf, value in sub.items():
+                pname, v = _export_leaf(kind, leaf, value)
+                sd[f"{prefix}.{idx}.{pname}"] = v
+        else:
+            raise KeyError(f"unmapped flax module: {mod}")
+    return sd
+
+
+def export_encoder_state_dict(tree: Dict, num_stages: int) -> Dict:
+    """Flax SemanticEncoder -> torch nn.Sequential state dict
+    (inverse of :func:`convert_encoder_state_dict`)."""
+    mapping = {name: (idx, kind)
+               for idx, (name, kind) in _ENCODER_MAPS[num_stages].items()}
+    final_ch = 128 if num_stages == 4 else 256
+    sd: Dict[str, np.ndarray] = {}
+    for name, sub in tree.items():
+        idx, kind = mapping[name]
+        if kind == "attn":
+            inner: Dict[str, np.ndarray] = {}
+            _export_sub(inner, "a", sub)   # reuse; strip the placeholder
+            for k, v in inner.items():
+                sd[f"encoder.{idx}.{k[2:]}"] = v
+        elif name == "final_dense":
+            w = np.asarray(sub["kernel"]).T          # [out, H*W*C]
+            out_dim = w.shape[0]
+            w = w.reshape(out_dim, 4, 4, final_ch).transpose(0, 3, 1, 2)
+            sd[f"encoder.{idx}.weight"] = w.reshape(out_dim, -1)
+            sd[f"encoder.{idx}.bias"] = np.asarray(sub["bias"])
+        else:
+            kk = {"conv": "conv2d", "norm": "norm"}[kind]
+            for leaf, value in sub.items():
+                pname, v = _export_leaf(kk, leaf, value)
+                sd[f"encoder.{idx}.{pname}"] = v
+    return sd
+
+
+def export_mlp_skip_net_state_dict(tree: Dict) -> Dict:
+    """Flax MLPSkipNet -> torch state dict (inverse of
+    :func:`convert_mlp_skip_net_state_dict`).  The reference registers the
+    per-layer ``linear_emb`` tensors twice (also under ``cond_layers.1``);
+    both keys are emitted so ``load_state_dict(strict=True)`` works."""
+    sd: Dict[str, np.ndarray] = {}
+    for mod, sub in tree.items():
+        if mod in ("time_embed_0", "time_embed_1"):
+            idx = {"time_embed_0": "0", "time_embed_1": "2"}[mod]
+            for leaf, value in sub.items():
+                pname, v = _export_leaf("linear", leaf, value)
+                sd[f"time_embed.{idx}.{pname}"] = v
+        elif mod.startswith("layers_"):
+            i = mod[len("layers_"):]
+            for sub_name, leaves in sub.items():
+                kind = "norm" if sub_name == "norm" else "linear"
+                for leaf, value in leaves.items():
+                    pname, v = _export_leaf(kind, leaf, value)
+                    sd[f"layers.{i}.{sub_name}.{pname}"] = v
+                    if sub_name == "linear_emb":
+                        sd[f"layers.{i}.cond_layers.1.{pname}"] = v
+        else:
+            raise KeyError(f"unmapped flax module: {mod}")
+    return sd
+
+
+def export_classifier_state_dict(tree: Dict) -> Dict:
+    sd: Dict[str, np.ndarray] = {}
+    for leaf, value in tree["fc"].items():
+        pname, v = _export_leaf("linear", leaf, value)
+        sd[pname] = v
+    return sd
+
+
+def export_reference_checkpoint(data: Dict,
+                                num_encoder_stages: int = 4) -> Dict:
+    """Our msgpack checkpoint dict -> a reference-trainer-shaped dict of
+    torch-loadable state dicts, key-for-key (inverse of
+    :func:`convert_reference_checkpoint`)."""
+    out: Dict = {}
+    for key, value in data.items():
+        if key == "step":
+            out["step"] = int(np.asarray(value))
+        elif key in ("denoise_fn", "ema_denoise_fn", "decoder",
+                     "ema_decoder"):
+            out[key] = export_unet_state_dict(value)
+        elif key in ("encoder", "ema_encoder"):
+            out[key] = export_encoder_state_dict(value, num_encoder_stages)
+        elif key in ("latent_denoise_fn", "ema_latent_denoise_fn"):
+            out[key] = export_mlp_skip_net_state_dict(value)
+        elif key in ("classifier", "ema_classifier"):
+            out[key] = export_classifier_state_dict(value)
+        elif key in ("mean", "std"):
+            out[key] = np.asarray(value, np.float32)
+        # optimizer state: not portable, skipped
+    return out

@@ -10,6 +10,8 @@ Usage:
   python scripts/convert_torch_checkpoint.py in.pt out.ckpt \
       [--encoder-stages {4,5}]     # 4 = 64px geometry, 5 = 128px
   python scripts/convert_torch_checkpoint.py latents.pt latents.ckpt --stats
+  # reverse: our .ckpt -> reference-loadable torch .pt
+  python scripts/convert_torch_checkpoint.py in.ckpt out.pt --export
 """
 
 import argparse
@@ -32,12 +34,33 @@ def main(argv=None):
     p.add_argument("--lpips", action="store_true",
                    help="input is an lpips-package (AlexNet) or torchvision "
                         "alexnet state dict")
+    p.add_argument("--export", action="store_true",
+                   help="reverse direction: OUR .ckpt -> torch .pt the "
+                        "reference trainers/samplers can load")
     args = p.parse_args(argv)
 
     import torch
     import numpy as np
     from pdae_tpu.utils import save_checkpoint
     from pdae_tpu.utils.torch_convert import convert_reference_checkpoint
+
+    if args.export:
+        from pdae_tpu.utils import load_checkpoint
+        from pdae_tpu.utils.torch_convert import export_reference_checkpoint
+        ours = load_checkpoint(args.input)
+        exported = export_reference_checkpoint(
+            ours, num_encoder_stages=args.encoder_stages)
+        # copy=True: msgpack-loaded arrays are read-only buffers
+        def _t(a):
+            return torch.from_numpy(np.array(a, copy=True))
+        out = {k: ({kk: _t(vv) for kk, vv in v.items()}
+                   if isinstance(v, dict) else
+                   (_t(v) if isinstance(v, np.ndarray) else v))
+               for k, v in exported.items()}
+        torch.save(out, args.output)
+        print(f"exported {args.input} -> {args.output} "
+              f"(keys: {sorted(out)})")
+        return
 
     data = torch.load(args.input, map_location="cpu", weights_only=False)
     if args.inception:
