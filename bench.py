@@ -69,6 +69,10 @@ def main():
                         "opt-in: the scan program is a separate ~10min "
                         "cold compile over the tunnel)")
     p.add_argument("--skip_host_baseline", action="store_true")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the headline "
+                        "sampling program into DIR and print the top-op "
+                        "summary to stderr (stdout stays one JSON line)")
     args = p.parse_args()
 
     if args.platform:
@@ -267,10 +271,29 @@ def main():
             out["scan_imgs_per_sec"] = round(batch / dt, 1)
         return out
 
+    def capture_trace(r):
+        """Trace one rep of the headline sampling program; summary to
+        stderr so stdout stays one JSON line."""
+        jax.profiler.start_trace(args.trace)
+        jax.block_until_ready(r["fused"](r["params"], r["x_T"], r["z"]))
+        jax.profiler.stop_trace()
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from summarize_trace import print_report, summarize
+        summary = summarize(args.trace)
+        device_lanes = {k: v for k, v in summary.items()
+                        if k.lower().startswith("/device")}
+        print_report(device_lanes or summary, top=10, file=sys.stderr)
+        print(f"\n[trace written to {args.trace}; full table: "
+              f"python scripts/summarize_trace.py {args.trace}]",
+              file=sys.stderr)
+
     if args.quick:
         r = bench_sample(TINY_DPM, 16, 16, 8, reps=1)
         host = (None if args.skip_host_baseline
                 else bench_host_loop(r, 16, 8))
+        if args.trace:
+            capture_trace(r)
         result = {
             "metric": f"ddim{steps}_imgs_per_sec_16px_tiny",
             "value": r["imgs_per_sec"],
@@ -326,6 +349,10 @@ def main():
         "sweep_128px": [strip(r) for r in sweep128],
         "train_64px": train64,
     }
+
+    if args.trace:
+        capture_trace(best64)
+
     print(json.dumps(result))
 
 
