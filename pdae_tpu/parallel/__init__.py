@@ -1,5 +1,7 @@
-from .mesh import (DATA_AXIS, data_sharding, fsdp_sharding, fsdp_shardings,
-                   local_mesh, make_mesh, pad_shard_batch, replicate,
+from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, data_sharding,
+                   fsdp_sharding, fsdp_shardings, local_mesh,
+                   make_hier_mesh, make_mesh, mesh_data_axes,
+                   pad_shard_batch, replicate,
                    replicated, shard_batch, shard_tree_fsdp)
 from .dist import (dispatch_num_samples_for_process, gather_objects,
                    host_copy_tree,
@@ -7,8 +9,9 @@ from .dist import (dispatch_num_samples_for_process, gather_objects,
                    process_shard_indices, sync_global_devices)
 
 __all__ = [
-    "DATA_AXIS", "data_sharding", "fsdp_sharding", "fsdp_shardings",
-    "local_mesh", "make_mesh", "pad_shard_batch", "replicate", "replicated",
+    "DATA_AXIS", "DCN_AXIS", "ICI_AXIS", "data_sharding", "fsdp_sharding",
+    "fsdp_shardings", "local_mesh", "make_hier_mesh", "make_mesh",
+    "mesh_data_axes", "pad_shard_batch", "replicate", "replicated",
     "shard_batch", "shard_tree_fsdp",
     "dispatch_num_samples_for_process", "gather_objects",
     "host_copy_tree",

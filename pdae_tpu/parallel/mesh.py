@@ -17,6 +17,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"     # slow inter-host axis (data-center network)
+ICI_AXIS = "ici"     # fast intra-slice axis (inter-chip interconnect)
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -27,8 +29,44 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+def make_hier_mesh(shape: Optional[tuple] = None) -> Mesh:
+    """2-D hierarchical mesh [DCN_AXIS, ICI_AXIS]: rows are hosts
+    (slow DCN links between them), columns are each host's chips (fast
+    ICI).  Shard batches over BOTH axes and params over ICI_AXIS only, and
+    every GSPMD param all-gather / reduce-scatter rides ICI while only the
+    (small) gradient all-reduce crosses DCN -- the standard TPU fleet
+    layout (jax-ml.github.io/scaling-book).  The reference's NCCL DDP has
+    no param-sharding mode at all, so nothing to mirror; this exists so
+    our FSDP stays ICI-local on multi-host runs.
+
+    ``shape=(rows, cols)`` overrides the host/chip layout (used by tests
+    to model multiple "hosts" with one process's devices)."""
+    if shape is None:
+        by_proc = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, []).append(d)
+        rows = [by_proc[p] for p in sorted(by_proc)]
+        n_local = len(rows[0])
+        if any(len(r) != n_local for r in rows):
+            raise ValueError("uneven device count per process: "
+                             f"{[len(r) for r in rows]}")
+        grid = np.asarray(rows)
+    else:
+        grid = np.asarray(jax.devices()[:shape[0] * shape[1]]).reshape(shape)
+    return Mesh(grid, (DCN_AXIS, ICI_AXIS))
+
+
+def mesh_data_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dim shards over: all of them for the
+    hierarchical mesh, the single axis for the flat one."""
+    return tuple(mesh.axis_names)
+
+
+def data_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis (flat mesh) or
+    over every mesh axis (hierarchical mesh)."""
+    if axis_name is None:
+        axis_name = mesh_data_axes(mesh)
     return NamedSharding(mesh, P(axis_name))
 
 
@@ -65,10 +103,14 @@ def fsdp_sharding(mesh: Mesh, shape, axis_name: str = DATA_AXIS,
     With batches sharded over the same axis, GSPMD all-gathers each param
     for use and reduce-scatters its gradient -- FSDP semantics without any
     model changes (the reference has no sharded-parameter mode at all;
-    its DDP keeps a full replica per rank, SURVEY.md §2.3)."""
+    its DDP keeps a full replica per rank, SURVEY.md §2.3).
+
+    On a hierarchical mesh pass ``axis_name=ICI_AXIS``: params shard over
+    the intra-host axis only (implicitly replicated over DCN_AXIS), so the
+    per-use all-gathers never cross the slow inter-host links."""
     if int(np.prod(shape)) < min_size:
         return NamedSharding(mesh, P())
-    world = mesh.devices.size
+    world = mesh.shape[axis_name]
     dims = sorted(range(len(shape)), key=lambda i: shape[i], reverse=True)
     for i in dims:
         if shape[i] >= world and shape[i] % world == 0:
@@ -93,7 +135,7 @@ def shard_tree_fsdp(mesh: Mesh, tree, axis_name: str = DATA_AXIS,
     return jax.tree_util.tree_map(jax.device_put, tree, sh)
 
 
-def pad_shard_batch(mesh: Mesh, x, axis_name: str = DATA_AXIS):
+def pad_shard_batch(mesh: Mesh, x, axis_name=None):
     """Lay a host batch out sharded over the mesh's data axis, wrap-padding
     the batch to a device-count multiple.
 

@@ -107,9 +107,6 @@ class BaseTrainer:
         if is_primary():
             save_yaml(self.config, os.path.join(run_path, "config.yml"))
 
-        self.mesh = make_mesh()
-        self.batch_sharding = data_sharding(self.mesh)
-        self.replicated = replicated(self.mesh)
         # param placement: 'replicated' (reference-DDP-equivalent, default)
         # or 'fsdp' (ZeRO-3: params/EMA/opt-state sharded over the data
         # axis, all-gathered per use by GSPMD -- no reference counterpart)
@@ -119,6 +116,33 @@ class BaseTrainer:
             raise ValueError(f"runner_config.param_sharding must be "
                              f"'replicated' or 'fsdp', got "
                              f"{self.param_sharding!r}")
+        # mesh layout: 'auto' = hierarchical [dcn, ici] when FSDP spans
+        # multiple processes with >1 local chip each (params then shard
+        # over ICI only and the per-use all-gathers never cross the slow
+        # inter-host links), flat 1-D otherwise.  'flat'/'hier' force it;
+        # hier_shape: [rows, cols] models a host grid in single-process
+        # tests.
+        layout = self.runner_config.get("mesh_layout", "auto")
+        if layout not in ("auto", "flat", "hier"):
+            raise ValueError(f"runner_config.mesh_layout must be 'auto', "
+                             f"'flat' or 'hier', got {layout!r}")
+        hier_shape = self.runner_config.get("hier_shape")
+        if layout == "auto":
+            layout = ("hier" if (self.param_sharding == "fsdp"
+                                 and jax.process_count() > 1
+                                 and len(jax.local_devices()) > 1)
+                      else "flat")
+        if layout == "hier":
+            from ..parallel import ICI_AXIS, make_hier_mesh
+            self.mesh = make_hier_mesh(
+                tuple(hier_shape) if hier_shape else None)
+            self.fsdp_axis = ICI_AXIS
+        else:
+            from ..parallel import DATA_AXIS
+            self.mesh = make_mesh()
+            self.fsdp_axis = DATA_AXIS
+        self.batch_sharding = data_sharding(self.mesh)
+        self.replicated = replicated(self.mesh)
         # leaves smaller than this stay replicated in fsdp mode
         self.fsdp_min_size = int(self.runner_config.get(
             "fsdp_min_size", 2 ** 15))
@@ -178,6 +202,7 @@ class BaseTrainer:
         if self.param_sharding == "fsdp":
             from ..parallel import shard_tree_fsdp
             self.state = shard_tree_fsdp(self.mesh, self.state,
+                                         axis_name=self.fsdp_axis,
                                          min_size=self.fsdp_min_size)
         else:
             self.state = jax.device_put(self.state, self.replicated)
@@ -189,6 +214,7 @@ class BaseTrainer:
         if self.param_sharding == "fsdp":
             from ..parallel import shard_tree_fsdp
             return shard_tree_fsdp(self.mesh, tree,
+                                   axis_name=self.fsdp_axis,
                                    min_size=self.fsdp_min_size)
         return jax.device_put(tree, self.replicated)
 
@@ -204,6 +230,7 @@ class BaseTrainer:
 
         from ..parallel import fsdp_shardings
         shardings = fsdp_shardings(self.mesh, self.state,
+                                   axis_name=self.fsdp_axis,
                                    min_size=self.fsdp_min_size)
         inner = self._train_step
 
@@ -262,7 +289,7 @@ class BaseTrainer:
         resume is preserved for any k."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel import DATA_AXIS
+        from ..parallel import mesh_data_axes
         epoch, offset = divmod(start_step, self.loader.batches_per_epoch())
         host_it = self.loader.infinite(start_epoch=epoch, skip_batches=offset)
 
@@ -274,7 +301,8 @@ class BaseTrainer:
 
         return prefetch_to_device(
             stacked(), size=2,
-            sharding=NamedSharding(self.mesh, P(None, DATA_AXIS)))
+            sharding=NamedSharding(self.mesh,
+                                   P(None, mesh_data_axes(self.mesh))))
 
     # -- multi-process eval helpers --------------------------------------- #
 

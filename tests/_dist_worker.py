@@ -180,6 +180,45 @@ stub = type("S", (), {"param_sharding": "fsdp"})()
 w_eval = BaseTrainer._eval_local(stub, fp)
 out["fsdp_eval_local_shape"] = list(np.shape(w_eval["w"]))
 
+# --- hierarchical [dcn, ici] mesh: FSDP that stays host-local ------------ #
+# the auto layout puts one mesh row per process; params shard over 'ici'
+# only, so every process holds a COMPLETE copy of each leaf across its own
+# devices (param all-gathers never cross the slow DCN axis), while the
+# batch shards over both axes
+from pdae_tpu.parallel import ICI_AXIS, make_hier_mesh, mesh_data_axes
+
+hmesh = make_hier_mesh()
+out["hier_mesh_shape"] = [hmesh.shape["dcn"], hmesh.shape["ici"]]
+out["hier_data_axes"] = list(mesh_data_axes(hmesh))
+
+hbatch_sh = NamedSharding(hmesh, P(mesh_data_axes(hmesh)))
+hit = prefetch_to_device(iter([{"x": local_x}]), size=1, sharding=hbatch_sh)
+hbatch = next(hit)
+out["hier_global_batch_shape"] = list(hbatch["x"].shape)
+
+hp = shard_tree_fsdp(hmesh, {"w": jnp.asarray(
+    np.random.RandomState(3).randn(32, DIM).astype(np.float32))},
+    axis_name=ICI_AXIS, min_size=64)
+hsh = fsdp_shardings(hmesh, hp, axis_name=ICI_AXIS, min_size=64)
+out["hier_w_sharded"] = not hp["w"].sharding.is_fully_replicated
+# host-local completeness: this process's addressable shards reconstruct
+# the full leaf (no cross-host fetch needed for a param gather)
+covered = np.zeros((32, DIM), bool)
+for s in hp["w"].addressable_shards:
+    covered[s.index] = True
+out["hier_w_host_complete"] = bool(covered.all())
+
+
+@partial(jax.jit, donate_argnums=0, out_shardings=(hsh, None))
+def hier_step(p, x):
+    loss = jnp.mean((x @ p["w"].T) ** 2)
+    return jax.tree_util.tree_map(lambda a: a * 0.5, p), loss
+
+
+hp, hloss = hier_step(hp, hbatch["x"])
+out["hier_loss"] = float(hloss)
+out["hier_w_still_sharded"] = not hp["w"].sharding.is_fully_replicated
+
 sync_global_devices("done")
 
 with open(os.path.join(outdir, f"rank{proc_id}.json"), "w") as f:

@@ -146,3 +146,22 @@ def test_chunked_global_batches(results):
         assert results[r]["chunk_global_shape"] == [2, 16, 16]
         np.testing.assert_allclose(results[r]["chunk_losses"], want,
                                    rtol=1e-5)
+
+
+def test_hier_mesh_fsdp_host_local(results):
+    """Hierarchical [dcn, ici] mesh with 2 live processes: one row per
+    process, batch sharded over both axes, params sharded over ici only --
+    every process reconstructs each leaf from its OWN shards (param
+    all-gathers never cross DCN), and the jitted loss is global."""
+    want_loss = float(np.mean((np.concatenate(
+        [np.random.RandomState(100 + r).randn(8, 16).astype(np.float32)
+         for r in range(2)])
+        @ np.random.RandomState(3).randn(32, 16).astype(np.float32).T) ** 2))
+    for r in (0, 1):
+        assert results[r]["hier_mesh_shape"] == [2, 4]
+        assert results[r]["hier_data_axes"] == ["dcn", "ici"]
+        assert results[r]["hier_global_batch_shape"] == [16, 16]
+        assert results[r]["hier_w_sharded"] is True
+        assert results[r]["hier_w_host_complete"] is True
+        assert results[r]["hier_w_still_sharded"] is True
+        assert results[r]["hier_loss"] == pytest.approx(want_loss, rel=1e-5)
