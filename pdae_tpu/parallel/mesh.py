@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"     # slow inter-host axis (data-center network)
 ICI_AXIS = "ici"     # fast intra-slice axis (inter-chip interconnect)
+MODEL_AXIS = "model"  # tensor-parallel axis (channel-sharded params)
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -56,10 +57,33 @@ def make_hier_mesh(shape: Optional[tuple] = None) -> Mesh:
     return Mesh(grid, (DCN_AXIS, ICI_AXIS))
 
 
+def make_tp_mesh(model_size: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D [DATA_AXIS, MODEL_AXIS] mesh for tensor parallelism: each row is
+    one model-parallel group of ``model_size`` ICI-adjacent chips holding a
+    channel-sharded copy of the model; rows are data-parallel replicas.
+    Batches shard over DATA_AXIS only; params shard over MODEL_AXIS
+    (``tp_sharding``).  The reference has no model sharding of any kind
+    (SURVEY.md §2.3); TP exists here for the regimes DP can't help --
+    per-chip memory beyond FSDP (opt-state AND activations split) and
+    low-latency small-batch sampling where a batch of 1 can still use every
+    chip."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if model_size < 1 or n % model_size:
+        raise ValueError(f"model_size={model_size} must divide the device "
+                         f"count {n}")
+    grid = np.asarray(devices).reshape(n // model_size, model_size)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
 def mesh_data_axes(mesh: Mesh) -> tuple:
-    """The mesh axes the batch dim shards over: all of them for the
-    hierarchical mesh, the single axis for the flat one."""
-    return tuple(mesh.axis_names)
+    """The mesh axes the batch dim shards over: every axis except the
+    tensor-parallel one (hier meshes shard batches over both [dcn, ici];
+    tp meshes over DATA_AXIS only, with batches replicated across each
+    model-parallel group)."""
+    return tuple(a for a in mesh.axis_names if a != MODEL_AXIS)
 
 
 def data_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
@@ -135,6 +159,38 @@ def shard_tree_fsdp(mesh: Mesh, tree, axis_name: str = DATA_AXIS,
     return jax.tree_util.tree_map(jax.device_put, tree, sh)
 
 
+def tp_sharding(mesh: Mesh, shape, min_size: int = 2 ** 15) -> NamedSharding:
+    """Tensor-parallel sharding for one param leaf: channel-shard over
+    MODEL_AXIS.  Flax layouts put output channels last (conv kernels HWIO,
+    Dense in×out), so the last dim gets the axis (Megatron column-parallel);
+    when it doesn't divide, the input-channel dim (-2) is tried
+    (row-parallel -- GSPMD inserts the partial-sum reduce); vectors (biases,
+    GN scales) and small leaves stay replicated.  Sharding propagation +
+    GSPMD turn these annotations into the actual collective schedule; no
+    model-code changes (same philosophy as ``fsdp_sharding``)."""
+    world = mesh.shape[MODEL_AXIS]
+    if int(np.prod(shape)) < min_size or len(shape) < 2 or world == 1:
+        return NamedSharding(mesh, P())
+    for i in (-1, -2):
+        if shape[i] >= world and shape[i] % world == 0:
+            spec = [None] * len(shape)
+            spec[i] = MODEL_AXIS
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def tp_shardings(mesh: Mesh, tree, min_size: int = 2 ** 15):
+    """Per-leaf ``tp_sharding`` pytree for a param/opt-state tree."""
+    return jax.tree_util.tree_map(
+        lambda x: tp_sharding(mesh, np.shape(x), min_size), tree)
+
+
+def shard_tree_tp(mesh: Mesh, tree, min_size: int = 2 ** 15):
+    """Lay a host/replicated pytree out tensor-parallel over the mesh."""
+    return jax.tree_util.tree_map(
+        jax.device_put, tree, tp_shardings(mesh, tree, min_size))
+
+
 def pad_shard_batch(mesh: Mesh, x, axis_name=None):
     """Lay a host batch out sharded over the mesh's data axis, wrap-padding
     the batch to a device-count multiple.
@@ -146,7 +202,9 @@ def pad_shard_batch(mesh: Mesh, x, axis_name=None):
     through GSPMD with the same jitted program."""
     import jax.numpy as jnp
     n = int(x.shape[0])
-    world = mesh.devices.size
+    # batch shards over the data axes only (== all devices except on a
+    # tp mesh, where each model-parallel group sees the full row batch)
+    world = int(np.prod([mesh.shape[a] for a in mesh_data_axes(mesh)]))
     pad = (-n) % world
     if pad:
         reps = -(-pad // n)  # wrap enough copies even when pad > n

@@ -107,21 +107,24 @@ class BaseTrainer:
         if is_primary():
             save_yaml(self.config, os.path.join(run_path, "config.yml"))
 
-        # param placement: 'replicated' (reference-DDP-equivalent, default)
-        # or 'fsdp' (ZeRO-3: params/EMA/opt-state sharded over the data
-        # axis, all-gathered per use by GSPMD -- no reference counterpart)
+        # param placement: 'replicated' (reference-DDP-equivalent, default),
+        # 'fsdp' (ZeRO-3: params/EMA/opt-state sharded over the data axis,
+        # all-gathered per use by GSPMD) or 'tp' (tensor parallel:
+        # channel-sharded params over a [data, model] mesh, activations
+        # split too) -- neither sharded mode has a reference counterpart
         self.param_sharding = self.runner_config.get(
             "param_sharding", "replicated")
-        if self.param_sharding not in ("replicated", "fsdp"):
+        if self.param_sharding not in ("replicated", "fsdp", "tp"):
             raise ValueError(f"runner_config.param_sharding must be "
-                             f"'replicated' or 'fsdp', got "
+                             f"'replicated', 'fsdp' or 'tp', got "
                              f"{self.param_sharding!r}")
         # mesh layout: 'auto' = hierarchical [dcn, ici] when FSDP spans
         # multiple processes with >1 local chip each (params then shard
         # over ICI only and the per-use all-gathers never cross the slow
         # inter-host links), flat 1-D otherwise.  'flat'/'hier' force it;
         # hier_shape: [rows, cols] models a host grid in single-process
-        # tests.
+        # tests.  TP always uses its own [data, model] mesh with
+        # tp_size chips per model-parallel group.
         layout = self.runner_config.get("mesh_layout", "auto")
         if layout not in ("auto", "flat", "hier"):
             raise ValueError(f"runner_config.mesh_layout must be 'auto', "
@@ -132,7 +135,15 @@ class BaseTrainer:
                                  and jax.process_count() > 1
                                  and len(jax.local_devices()) > 1)
                       else "flat")
-        if layout == "hier":
+        if self.param_sharding == "tp":
+            if layout == "hier":
+                raise ValueError("mesh_layout 'hier' applies to fsdp; "
+                                 "tp builds its own [data, model] mesh")
+            from ..parallel import make_tp_mesh
+            self.mesh = make_tp_mesh(int(self.runner_config.get(
+                "tp_size", len(jax.devices()))))
+            self.fsdp_axis = None
+        elif layout == "hier":
             from ..parallel import ICI_AXIS, make_hier_mesh
             self.mesh = make_hier_mesh(
                 tuple(hier_shape) if hier_shape else None)
@@ -143,7 +154,7 @@ class BaseTrainer:
             self.fsdp_axis = DATA_AXIS
         self.batch_sharding = data_sharding(self.mesh)
         self.replicated = replicated(self.mesh)
-        # leaves smaller than this stay replicated in fsdp mode
+        # leaves smaller than this stay replicated in fsdp/tp mode
         self.fsdp_min_size = int(self.runner_config.get(
             "fsdp_min_size", 2 ** 15))
         # optional jax.profiler trace dir (reference uses wall-clock phase
@@ -195,43 +206,47 @@ class BaseTrainer:
 
     # -- param placement --------------------------------------------------- #
 
+    def _tree_shardings(self, tree):
+        """Per-leaf NamedShardings for the current param_sharding mode
+        (fsdp / tp); None for replicated (out_shardings left to the
+        compiler, matching round-1 behavior)."""
+        if self.param_sharding == "fsdp":
+            from ..parallel import fsdp_shardings
+            return fsdp_shardings(self.mesh, tree, axis_name=self.fsdp_axis,
+                                  min_size=self.fsdp_min_size)
+        if self.param_sharding == "tp":
+            from ..parallel import tp_shardings
+            return tp_shardings(self.mesh, tree,
+                                min_size=self.fsdp_min_size)
+        return None
+
     def _place_state(self):
         """Lay the train state out over the mesh: every chip holds a full
         replica ('replicated', the reference's DDP memory model) or a 1/Nth
-        shard of every large leaf ('fsdp')."""
-        if self.param_sharding == "fsdp":
-            from ..parallel import shard_tree_fsdp
-            self.state = shard_tree_fsdp(self.mesh, self.state,
-                                         axis_name=self.fsdp_axis,
-                                         min_size=self.fsdp_min_size)
-        else:
-            self.state = jax.device_put(self.state, self.replicated)
+        shard of every large leaf ('fsdp'/'tp')."""
+        self.state = self._place_frozen(self.state)
 
     def _place_frozen(self, tree):
-        """Placement for frozen (never-updated) stage params -- these are
-        the biggest memory consumers in the PDAE/latent/manipulation stages,
-        so FSDP mode shards them too."""
-        if self.param_sharding == "fsdp":
-            from ..parallel import shard_tree_fsdp
-            return shard_tree_fsdp(self.mesh, tree,
-                                   axis_name=self.fsdp_axis,
-                                   min_size=self.fsdp_min_size)
-        return jax.device_put(tree, self.replicated)
+        """Placement for any param tree including frozen (never-updated)
+        stage params -- these are the biggest memory consumers in the
+        PDAE/latent/manipulation stages, so the sharded modes shard them
+        too."""
+        sh = self._tree_shardings(tree)
+        if sh is None:
+            return jax.device_put(tree, self.replicated)
+        return jax.tree_util.tree_map(jax.device_put, tree, sh)
 
     def _enforce_state_sharding(self):
-        """In FSDP mode, pin the train step's output state to the same
-        per-leaf shardings as its input.  Sharding propagation usually does
-        this on its own, but it is compiler-chosen; an explicit
-        ``out_shardings`` makes donation + persistence guaranteed rather
-        than incidental."""
-        if self.param_sharding != "fsdp":
+        """In a sharded-param mode, pin the train step's output state to
+        the same per-leaf shardings as its input.  Sharding propagation
+        usually does this on its own, but it is compiler-chosen; an
+        explicit ``out_shardings`` makes donation + persistence guaranteed
+        rather than incidental."""
+        shardings = self._tree_shardings(self.state)
+        if shardings is None:
             return
         from functools import partial as _partial
 
-        from ..parallel import fsdp_shardings
-        shardings = fsdp_shardings(self.mesh, self.state,
-                                   axis_name=self.fsdp_axis,
-                                   min_size=self.fsdp_min_size)
         inner = self._train_step
 
         @_partial(jax.jit, donate_argnums=0,
@@ -327,7 +342,7 @@ class BaseTrainer:
         if jax.process_count() == 1:
             return tree
         # getattr: callable unbound with minimal stubs in tests
-        if getattr(self, "param_sharding", "replicated") == "fsdp":
+        if getattr(self, "param_sharding", "replicated") in ("fsdp", "tp"):
             # leaves have non-addressable shards; all-gather to the host
             # (collective -- every process calls _eval_local in evaluate())
             from ..parallel import host_copy_tree
@@ -388,7 +403,7 @@ class BaseTrainer:
         reference blocks training for the whole torch.save
         (train_regular_diffusion.py:180-201)."""
         sd = {"step": np.asarray(step, np.int32), **self.state_dict()}
-        if self.param_sharding == "fsdp" and jax.process_count() > 1:
+        if self.param_sharding in ("fsdp", "tp") and jax.process_count() > 1:
             # sharded leaves are not host-addressable; all-gather first
             # (collective -- save() is called from the loop on every process)
             from ..parallel import host_copy_tree

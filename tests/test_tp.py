@@ -1,0 +1,185 @@
+"""Tensor-parallel (channel-sharded) parameter placement.
+
+Beyond-reference capability: the reference has no model sharding of any
+kind (SURVEY.md §2.3 — DP only).  ``runner_config.param_sharding: tp``
+lays params out channel-sharded over the MODEL_AXIS of a 2-D
+[data, model] mesh; GSPMD propagates the shardings through the UNet and
+inserts the collectives.  Unlike FSDP (which all-gathers each param and
+runs the math replicated), TP splits the *math and activations*, so it
+also helps where DP/FSDP cannot: per-chip activation memory, and
+small-batch work that has fewer images than chips.
+
+These tests run on the suite's 8-device CPU mesh and assert (a) numerical
+equivalence with the replicated mode, (b) shardings persist across steps
+and use only the 'model' axis, (c) checkpoints round-trip, and (d) a
+batch-1 forward runs sharded across chips and matches the single-device
+result.
+"""
+
+import copy
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from pdae_tpu.parallel import (MODEL_AXIS, make_tp_mesh, mesh_data_axes,
+                               pad_shard_batch, tp_sharding)
+from pdae_tpu.training import RegularDiffusionTrainer
+
+from test_training_regular import TINY_CONFIG
+
+
+def _tp_config(extra=None):
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["runner_config"]["param_sharding"] = "tp"
+    cfg["runner_config"]["tp_size"] = 2
+    # tiny test model: let even small leaves shard
+    cfg["runner_config"]["fsdp_min_size"] = 256
+    if extra:
+        cfg["runner_config"].update(extra)
+    return cfg
+
+
+def _leaves(tree):
+    return jax.tree_util.tree_leaves(tree)
+
+
+def _losses(run):
+    with open(os.path.join(run, "metrics.jsonl")) as f:
+        return [json.loads(l)["prediction_loss"] for l in f]
+
+
+def test_tp_mesh_and_spec_selection():
+    mesh = make_tp_mesh(4)
+    assert mesh.axis_names == ("data", MODEL_AXIS)
+    assert mesh.shape["data"] == 2 and mesh.shape[MODEL_AXIS] == 4
+    # batches shard over the data axis only
+    assert mesh_data_axes(mesh) == ("data",)
+
+    # conv kernel HWIO: output channels (last dim) sharded
+    assert tp_sharding(mesh, (3, 3, 64, 128), min_size=256).spec == \
+        P(None, None, None, MODEL_AXIS)
+    # last dim not divisible: fall back to input channels (row-parallel)
+    assert tp_sharding(mesh, (64, 9), min_size=256).spec == \
+        P(MODEL_AXIS, None)
+    # vectors and small leaves stay replicated
+    assert tp_sharding(mesh, (4096,), min_size=256).spec == P()
+    assert tp_sharding(mesh, (4, 4), min_size=256).spec == P()
+    # nothing divisible: replicated
+    assert tp_sharding(mesh, (33, 35), min_size=256).spec == P()
+
+    with pytest.raises(ValueError, match="model_size"):
+        make_tp_mesh(3)
+
+
+def test_tp_pad_shard_batch_uses_data_axis_only():
+    mesh = make_tp_mesh(4)   # data 2 x model 4
+    x, n = pad_shard_batch(mesh, np.zeros((3, 4), np.float32))
+    assert n == 3
+    # padded to the DATA axis size (2 -> 4), not the full device count (8)
+    assert x.shape[0] == 4
+
+
+def test_tp_trainer_matches_replicated_and_persists(tmp_path):
+    tr_rep = RegularDiffusionTrainer(config=copy.deepcopy(TINY_CONFIG),
+                                     run_path=str(tmp_path / "rep"))
+    tr_tp = RegularDiffusionTrainer(config=_tp_config(),
+                                    run_path=str(tmp_path / "tp"))
+    assert tr_tp.mesh.axis_names == ("data", MODEL_AXIS)
+    assert tr_tp.mesh.shape["data"] == 4
+
+    sharded = [l for l in _leaves(tr_tp.state.params)
+               if not l.sharding.is_fully_replicated]
+    assert sharded, "tp mode sharded nothing"
+    for leaf in sharded:
+        spec_axes = {a for entry in leaf.sharding.spec if entry
+                     for a in ((entry,) if isinstance(entry, str)
+                               else tuple(entry))}
+        assert spec_axes == {MODEL_AXIS}, leaf.sharding.spec
+    # EMA and adam moments shard the same way
+    assert any(not l.sharding.is_fully_replicated
+               for l in _leaves(tr_tp.state.ema_params))
+    assert any(not l.sharding.is_fully_replicated
+               for l in _leaves(tr_tp.state.opt_state))
+
+    tr_rep.train(max_steps=4)
+    tr_tp.train(max_steps=4)
+
+    # sharding persists across jitted steps (out_shardings pins it)
+    assert any(not l.sharding.is_fully_replicated
+               for l in _leaves(tr_tp.state.params))
+
+    # same data stream + rng discipline -> same trajectory (reduction-order
+    # noise bounds as in test_fsdp.py)
+    for a, b in zip(_leaves(tr_rep.state.params), _leaves(tr_tp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    l_rep = _losses(str(tmp_path / "rep"))
+    l_tp = _losses(str(tmp_path / "tp"))
+    assert l_rep and len(l_rep) == len(l_tp)
+    np.testing.assert_allclose(l_rep, l_tp, rtol=1e-4)
+
+
+def test_tp_checkpoint_roundtrip(tmp_path):
+    run = str(tmp_path / "run")
+    tr = RegularDiffusionTrainer(config=_tp_config(), run_path=run)
+    tr.train(max_steps=3)
+    tr2 = RegularDiffusionTrainer(config=_tp_config(), run_path=run,
+                                  resume="latest")
+    assert tr2.start_step == 3
+    for a, b in zip(_leaves(tr.state.params), _leaves(tr2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # restored leaves are re-sharded, not replicated
+    assert any(not l.sharding.is_fully_replicated
+               for l in _leaves(tr2.state.params))
+
+
+def test_tp_batch1_forward_across_all_chips():
+    """The regime DP can't touch: ONE image, all 8 chips.  Params shard
+    over a pure-model mesh (data axis 1); the jitted forward runs the
+    channel-split math across every device and matches the replicated
+    result."""
+    import jax.numpy as jnp
+
+    from pdae_tpu.models import UNet
+    from pdae_tpu.parallel import replicated, shard_tree_tp
+    from pdae_tpu.utils import init_key
+
+    m = UNet(input_channel=1, base_channel=8, channel_multiplier=(1, 2),
+             num_residual_blocks_of_a_block=1, attention_resolutions=(2,),
+             num_heads=1, head_channel=-1, use_new_attention_order=False,
+             dropout=0.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 1),
+                    jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(m.init)(init_key(0), x, t)["params"]
+
+    ref = np.asarray(jax.jit(
+        lambda p, x, t: m.apply({"params": p}, x, t))(params, x, t))
+
+    mesh = make_tp_mesh(8)   # data 1 x model 8
+    tp_params = shard_tree_tp(mesh, params, min_size=256)
+    sharded = [l for l in _leaves(tp_params)
+               if not l.sharding.is_fully_replicated]
+    assert sharded, "nothing sharded at tp_size=8"
+    # the leaf shards really live on different devices
+    devs = {s.device for l in sharded for s in l.addressable_shards}
+    assert len(devs) == 8
+
+    xr = jax.device_put(x, replicated(mesh))
+    tr_ = jax.device_put(t, replicated(mesh))
+    with mesh:
+        out = jax.jit(lambda p, x, t: m.apply({"params": p}, x, t))(
+            tp_params, xr, tr_)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_tp_validation(tmp_path):
+    cfg = _tp_config({"tp_size": 3})
+    with pytest.raises(ValueError, match="model_size"):
+        RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "a"))
+    cfg = _tp_config({"tp_size": 2, "mesh_layout": "hier"})
+    with pytest.raises(ValueError, match="hier"):
+        RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "b"))
