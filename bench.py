@@ -273,7 +273,15 @@ def main():
 
     def capture_trace(r):
         """Trace one rep of the headline sampling program; summary to
-        stderr so stdout stays one JSON line."""
+        stderr so stdout stays one JSON line.  Never raises: a trace
+        failure must not discard the measured result (callers print the
+        JSON line after this)."""
+        try:
+            _capture_trace(r)
+        except Exception as e:
+            print(f"[trace capture failed: {e!r}]", file=sys.stderr)
+
+    def _capture_trace(r):
         jax.profiler.start_trace(args.trace)
         jax.block_until_ready(r["fused"](r["params"], r["x_T"], r["z"]))
         jax.profiler.stop_trace()

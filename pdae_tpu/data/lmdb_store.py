@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import mmap
 import os
+import threading
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -372,6 +373,7 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
 
 _NATIVE_LIB = None
 _NATIVE_TRIED = False
+_NATIVE_LOCK = threading.Lock()
 
 
 def _native_lib():
@@ -379,7 +381,20 @@ def _native_lib():
     global _NATIVE_LIB, _NATIVE_TRIED
     if _NATIVE_TRIED:
         return _NATIVE_LIB
-    _NATIVE_TRIED = True
+    with _NATIVE_LOCK:
+        if _NATIVE_TRIED:
+            return _NATIVE_LIB
+        lib = _native_lib_locked()
+        _NATIVE_LIB = lib
+        _NATIVE_TRIED = True
+        return lib
+
+
+def _native_lib_locked():
+    """Single-threaded build+load (loader workers are threads; without the
+    lock two threads could run `make` onto the same per-PID tmp file and
+    publish a corrupt .so via os.replace -- same guard as
+    native_image.py)."""
     import ctypes
     import subprocess
     native_dir = os.path.join(os.path.dirname(os.path.dirname(
@@ -412,10 +427,9 @@ def _native_lib():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t)]
         lib.pdae_lmdb_close.argtypes = [ctypes.c_void_p]
-        _NATIVE_LIB = lib
+        return lib
     except Exception:
-        _NATIVE_LIB = None
-    return _NATIVE_LIB
+        return None
 
 
 class NativeReader:

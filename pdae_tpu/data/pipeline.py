@@ -60,8 +60,16 @@ class Loader:
 
     def batches_per_epoch(self) -> int:
         idx_len = len(self._epoch_indices(0))
-        return (idx_len // self.batch_size if self.drop_last
-                else -(-idx_len // self.batch_size))
+        nb = (idx_len // self.batch_size if self.drop_last
+              else -(-idx_len // self.batch_size))
+        if nb == 0:
+            # callers divide by this (resume fast-forward math); raise the
+            # guidance here instead of a ZeroDivisionError there
+            raise ValueError(
+                f"per-process shard ({idx_len} samples) smaller than "
+                f"batch_size ({self.batch_size}); reduce batch_size / "
+                f"num_iterations or grow the dataset")
+        return nb
 
     def epoch(self, epoch: int = 0, skip_batches: int = 0) -> Iterator[dict]:
         """One pass over this process's shard.

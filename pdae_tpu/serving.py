@@ -165,7 +165,11 @@ class PDAEService:
             self._clf_weight = ctx.classifier_weight()
         if attribute is not None:
             from .data.datasets import CELEBAHQ
-            class_id = CELEBAHQ.LABEL_TO_ID.get(attribute, class_id)
+            if attribute not in CELEBAHQ.LABEL_TO_ID:
+                raise ValueError(
+                    f"unknown attribute {attribute!r}; one of "
+                    f"{sorted(CELEBAHQ.LABEL_TO_ID)}")
+            class_id = CELEBAHQ.LABEL_TO_ID[attribute]
         es = encode_style or self.config.get("encode_ddim_style", "ddim500")
         ds = decode_style or self.config.get("decode_ddim_style", "ddim200")
         if self._manip_fn is None:

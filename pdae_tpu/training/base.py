@@ -522,11 +522,10 @@ class BaseTrainer:
                     from ..parallel import gather_objects
                     stop["flag"] = any(gather_objects([stop["local"]]))
                 t_end = time.perf_counter()
-            if step % save_latest == 0:
-                self.save(step)
-                last_saved = step
-            if step % save_snap == 0:
-                self.save(step, snapshot=True)
+            if step % save_latest == 0 or step % save_snap == 0:
+                # one save covers both cadences (a snapshot step would
+                # otherwise pay the state_dict gather + write twice)
+                self.save(step, snapshot=step % save_snap == 0)
                 last_saved = step
             if step % eval_every == 0:
                 self.evaluate(step)

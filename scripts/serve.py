@@ -63,10 +63,17 @@ def make_handler(service, lock):
 
         def do_GET(self):
             if self.path == "/healthz":
+                # advertise an op only when EVERY config key it loads is
+                # present (generate: latent run config+ckpt+stats;
+                # manipulate: classifier ckpt+stats -- sampling/context.py)
+                cfg = service.config
                 ops = ["encode", "autoencode"]
-                if service.config.get("latent_checkpoint_path"):
+                if all(cfg.get(k) for k in ("latent_config_path",
+                                            "latent_checkpoint_path",
+                                            "inferred_latents_path")):
                     ops.append("generate")
-                if service.config.get("classifier_checkpoint_path"):
+                if all(cfg.get(k) for k in ("classifier_checkpoint_path",
+                                            "inferred_latents_path")):
                     ops.append("manipulate")
                 self._reply(200, {"ok": True, "ops": ops})
             else:
