@@ -44,7 +44,9 @@ class PDAEService:
     ``checkpoint_path`` (PDAE stage), optional ``latent_config_path`` +
     ``latent_checkpoint_path`` + ``inferred_latents_path`` (generation),
     optional ``classifier_checkpoint_path`` (manipulation), plus
-    ``image_size`` / ``image_channel`` / ``max_batch``.
+    ``image_size`` / ``image_channel`` / ``max_batch``; ``tp_size: K``
+    turns on tensor parallelism over the local chips (channel-sharded
+    params -- a batch of 1 uses all K devices, see parallel/mesh.py).
     """
 
     def __init__(self, config: dict):
@@ -56,7 +58,20 @@ class PDAEService:
             self.ctx._pdae_cfg["train_dataset_config"]["image_size"]))
         self.channels = int(config.get("image_channel", 3))
         self.max_batch = int(config.get("max_batch", 64))
-        self._mesh = local_mesh()
+        # tp_size > 1: tensor parallelism over local chips -- params
+        # channel-shard over the 'model' axis, so a SINGLE image uses
+        # every chip (lowest latency); batches shard over the remaining
+        # 'data' axis.  Default (1): plain data-parallel local mesh.
+        self.tp_size = int(config.get("tp_size", 1))
+        if self.tp_size > 1:
+            from .parallel import make_tp_mesh
+            self._mesh = make_tp_mesh(self.tp_size,
+                                      devices=jax.local_devices())
+            self._tp_min = int(config.get("tp_min_size", 2 ** 15))
+            self.ctx.enc_params = self._place_params(self.ctx.enc_params)
+            self.ctx.dec_params = self._place_params(self.ctx.dec_params)
+        else:
+            self._mesh = local_mesh()
         self._stats = None
         self._clf_weight = None
         ctx = self.ctx
@@ -84,6 +99,14 @@ class PDAEService:
         self._manip_fn = None
 
     # -- helpers --------------------------------------------------------- #
+
+    def _place_params(self, tree):
+        """Channel-shard a param tree over the tp mesh (no-op layout change
+        for tp_size 1 -- params stay as SamplerContext placed them)."""
+        if self.tp_size <= 1:
+            return tree
+        from .parallel import shard_tree_tp
+        return shard_tree_tp(self._mesh, tree, min_size=self._tp_min)
 
     def _to_model_input(self, images: np.ndarray) -> jnp.ndarray:
         """uint8 [N,H,W,C] (or float in [-1,1]) -> float32 [-1,1]."""
@@ -127,6 +150,7 @@ class PDAEService:
         ctx = self.ctx
         if self._generate_fn is None:
             ctx.build_latent()
+            ctx.lat_params = self._place_params(ctx.lat_params)
             self._stats = ctx.latent_stats()
             gd = ctx.gd
 

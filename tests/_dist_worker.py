@@ -219,6 +219,41 @@ hp, hloss = hier_step(hp, hbatch["x"])
 out["hier_loss"] = float(hloss)
 out["hier_w_still_sharded"] = not hp["w"].sharding.is_fully_replicated
 
+# --- tensor parallelism across live processes ----------------------------- #
+# make_tp_mesh(4) over 2 procs x 4 devices: data axis spans the processes
+# (one row each), model axis is each process's 4 local devices.  Params
+# channel-shard over 'model'; the batch shards over 'data' only.
+from pdae_tpu.parallel import make_tp_mesh, shard_tree_tp, tp_shardings
+
+tmesh = make_tp_mesh(4)
+out["tp_mesh_shape"] = [tmesh.shape["data"], tmesh.shape["model"]]
+out["tp_data_axes"] = list(mesh_data_axes(tmesh))
+
+tbatch_sh = NamedSharding(tmesh, P(mesh_data_axes(tmesh)))
+tit = prefetch_to_device(iter([{"x": local_x}]), size=1, sharding=tbatch_sh)
+tbatch = next(tit)
+out["tp_global_batch_shape"] = list(tbatch["x"].shape)
+
+tp = shard_tree_tp(tmesh, {"w": jnp.asarray(
+    np.random.RandomState(3).randn(32, DIM).astype(np.float32))},
+    min_size=64)
+tsh = tp_shardings(tmesh, tp, min_size=64)
+out["tp_w_sharded"] = not tp["w"].sharding.is_fully_replicated
+out["tp_w_spec_axes"] = sorted({a for e in tp["w"].sharding.spec if e
+                                for a in ((e,) if isinstance(e, str)
+                                          else tuple(e))})
+
+
+@partial(jax.jit, donate_argnums=0, out_shardings=(tsh, None))
+def tp_step(p, x):
+    loss = jnp.mean((x @ p["w"].T) ** 2)
+    return jax.tree_util.tree_map(lambda a: a * 0.5, p), loss
+
+
+tp, tloss = tp_step(tp, tbatch["x"])
+out["tp_loss"] = float(tloss)
+out["tp_w_still_sharded"] = not tp["w"].sharding.is_fully_replicated
+
 sync_global_devices("done")
 
 with open(os.path.join(outdir, f"rank{proc_id}.json"), "w") as f:

@@ -165,3 +165,22 @@ def test_hier_mesh_fsdp_host_local(results):
         assert results[r]["hier_w_host_complete"] is True
         assert results[r]["hier_w_still_sharded"] is True
         assert results[r]["hier_loss"] == pytest.approx(want_loss, rel=1e-5)
+
+
+def test_tp_across_live_processes(results):
+    """Tensor parallelism with 2 live processes: data axis spans the
+    processes, model axis is each process's local devices; params
+    channel-shard over 'model' only and the jitted global loss matches the
+    replicated math."""
+    want_loss = float(np.mean((np.concatenate(
+        [np.random.RandomState(100 + r).randn(8, 16).astype(np.float32)
+         for r in range(2)])
+        @ np.random.RandomState(3).randn(32, 16).astype(np.float32).T) ** 2))
+    for r in (0, 1):
+        assert results[r]["tp_mesh_shape"] == [2, 4]
+        assert results[r]["tp_data_axes"] == ["data"]
+        assert results[r]["tp_global_batch_shape"] == [16, 16]
+        assert results[r]["tp_w_sharded"] is True
+        assert results[r]["tp_w_spec_axes"] == ["model"]
+        assert results[r]["tp_w_still_sharded"] is True
+        assert results[r]["tp_loss"] == pytest.approx(want_loss, rel=1e-5)

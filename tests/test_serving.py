@@ -141,3 +141,34 @@ def test_http_error_is_json(http_server):
     except urllib.error.HTTPError as e:
         body = json.loads(e.read())
         assert e.code == 400 and "max_batch" in body["error"]
+
+
+def test_tp_service_matches_dp(service, stack):
+    """tp_size=8: params channel-shard over all 8 (CPU) chips so a single
+    image uses every device -- the low-latency serving regime DP can't
+    reach.  Outputs must match the data-parallel service (uint8 within one
+    rounding step of reduction-order noise)."""
+    import jax
+    from pdae_tpu.serving import PDAEService
+
+    tp = PDAEService(_service_config(stack, tp_size=8, tp_min_size=64))
+    assert tp._mesh.axis_names == ("data", "model")
+    leaves = jax.tree_util.tree_leaves(tp.ctx.dec_params)
+    sharded = [l for l in leaves if not l.sharding.is_fully_replicated]
+    assert sharded, "tp service sharded nothing"
+    devs = {s.device for l in sharded for s in l.addressable_shards}
+    assert len(devs) == 8
+
+    imgs = _images(1)                    # ONE image, all chips
+    ref = service.autoencode(imgs)
+    out = tp.autoencode(imgs)
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out.astype(int) - ref.astype(int))) <= 1
+
+    z_ref = service.encode(imgs)
+    z_tp = tp.encode(imgs)
+    np.testing.assert_allclose(z_tp, z_ref, atol=1e-4)
+
+    g_ref = service.generate(2, seed=7)
+    g_tp = tp.generate(2, seed=7)
+    assert np.max(np.abs(g_tp.astype(int) - g_ref.astype(int))) <= 1
