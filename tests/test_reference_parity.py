@@ -450,3 +450,175 @@ def test_x0_clip_p_sample_step(env, data, monkeypatch):
             None if learned is None else jnp.asarray(to_nhwc(learned)),
             noise=jnp.asarray(to_nhwc(step_noise)))
         close(got, want, what=f"x_0_clip_p_sample learned={learned is not None}")
+
+
+# --------------------------------------------------------------------- #
+# full training-step parity: grads -> Adam update -> EMA
+# --------------------------------------------------------------------- #
+
+def test_full_train_step_parity(env, data, monkeypatch):
+    """One COMPLETE optimizer step vs the reference: identical converted
+    weights and injected (t, noise) on both sides, then loss.backward() +
+    torch.optim.Adam.step() + the reference's EMA ``accumulate``
+    (train_regular_diffusion.py:46-57,96-99,170-178) against our
+    value_and_grad + optax adam + ema_update.  Catches what loss parity
+    alone cannot: a gradient-layout bug in the converter mapping, an
+    Adam hyperparameter/bias-correction mismatch, or an EMA formula drift.
+    """
+    import copy as _copy
+
+    import jax
+    import optax
+
+    from pdae_tpu.training.state import ema_update
+
+    lr, betas, eps, decay = 1e-3, (0.9, 0.999), 1e-8, 0.5
+
+    # fresh torch model copy so env's shared weights stay untouched
+    t_unet = _copy.deepcopy(env["t_unet"]).train()
+    t_ema = _copy.deepcopy(t_unet)
+    opt = torch.optim.Adam(t_unet.parameters(), lr=lr, betas=betas, eps=eps)
+
+    t_vals = np.array([13, 77], dtype=np.int64)
+    noise = np.random.RandomState(6).randn(B, 3, IMG, IMG).astype(np.float32)
+    _patch_train_rng(monkeypatch, t_vals, noise)
+
+    want = env["ref"].regular_train_one_batch(
+        t_unet, torch.from_numpy(data["x"]))
+    opt.zero_grad()
+    want["prediction_loss"].backward()
+    t_grads = {k: p.grad.detach().numpy()
+               for k, p in t_unet.named_parameters()}
+    opt.step()
+    # reference EMA: ema.mul_(decay).add_(p, alpha=1-decay)
+    with torch.no_grad():
+        for k, p_ema in dict(t_ema.named_parameters()).items():
+            p = dict(t_unet.named_parameters())[k]
+            p_ema.data.mul_(decay).add_(p.data, alpha=1.0 - decay)
+
+    # ours: same injected (t, noise), grads via value_and_grad
+    p0 = convert_unet_state_dict(
+        {k: v.numpy() for k, v in env["t_unet"].state_dict().items()})
+    from pdae_tpu.models import UNet as JUNet
+    jcfg = {**UNET_CFG, "channel_multiplier": (1, 2),
+            "attention_resolutions": (2,)}
+    j_unet = JUNet(**jcfg)
+
+    def loss_fn(p):
+        out = GaussianDiffusion(
+            {"timesteps": T, "betas_type": "linear"}
+        ).regular_train_one_batch(
+            None, lambda x, t, c=None: j_unet.apply({"params": p}, x, t, c),
+            jnp.asarray(to_nhwc(data["x"])),
+            t=jnp.asarray(t_vals.astype(np.int32)),
+            noise=jnp.asarray(to_nhwc(noise)))
+        return out["prediction_loss"]
+
+    loss, j_grads = jax.value_and_grad(loss_fn)(p0)
+    np.testing.assert_allclose(float(loss),
+                               float(want["prediction_loss"].detach()),
+                               rtol=1e-4, atol=1e-6)
+
+    # gradient parity: the converter's kernel transposes apply to grads
+    # identically (gradients transform like their parameters)
+    want_grads = convert_unet_state_dict(t_grads)
+    flat_w = jax.tree_util.tree_leaves_with_path(want_grads)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(j_grads))
+    assert len(flat_w) == len(flat_g)
+    for path, wg in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), wg, rtol=1e-3, atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+    # one optax adam step + EMA
+    tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    upd, _ = tx.update(j_grads, tx.init(p0), p0)
+    p1 = jax.tree_util.tree_map(jnp.add, p0, upd)
+    ema1 = ema_update(jax.tree_util.tree_map(jnp.copy, p0), p1, decay)
+
+    want_p1 = convert_unet_state_dict(
+        {k: v.numpy() for k, v in t_unet.state_dict().items()})
+    want_ema1 = convert_unet_state_dict(
+        {k: v.numpy() for k, v in t_ema.state_dict().items()})
+    flat_p1 = dict(jax.tree_util.tree_leaves_with_path(p1))
+    for path, wp in jax.tree_util.tree_leaves_with_path(want_p1):
+        np.testing.assert_allclose(
+            np.asarray(flat_p1[path]), wp, rtol=2e-3, atol=1e-4,
+            err_msg=f"post-adam param mismatch at "
+                    f"{jax.tree_util.keystr(path)}")
+    flat_e1 = dict(jax.tree_util.tree_leaves_with_path(ema1))
+    for path, we in jax.tree_util.tree_leaves_with_path(want_ema1):
+        np.testing.assert_allclose(
+            np.asarray(flat_e1[path]), we, rtol=2e-3, atol=1e-4,
+            err_msg=f"post-EMA param mismatch at "
+                    f"{jax.tree_util.keystr(path)}")
+
+
+def test_representation_grads_respect_freeze(env, data, monkeypatch):
+    """PDAE-stage gradient parity with the reference's freeze semantics:
+    torch side calls ShiftUNet.freeze() (shift_unet.py:299-310) and
+    backprops -- only the 4 trainable parts get grads; our side takes
+    grads over the split shift subtree with the trunk merged frozen
+    (training/partition.py).  The two gradient sets must match leaf for
+    leaf."""
+    import copy as _copy
+
+    import jax
+
+    from pdae_tpu.training.partition import merge_params, split_shift_unet
+
+    t_dec = _copy.deepcopy(env["t_dec"])
+    t_dec.freeze()
+
+    t_vals = np.array([5, 91], dtype=np.int64)
+    noise = np.random.RandomState(8).randn(B, 3, IMG, IMG).astype(np.float32)
+    _patch_train_rng(monkeypatch, t_vals, noise)
+
+    want = env["ref"].representation_learning_train_one_batch(
+        torch_encoder, t_dec, torch.from_numpy(data["x"]))
+    want["prediction_loss"].backward()
+    frozen_with_grad = [k for k, p in t_dec.named_parameters()
+                        if not p.requires_grad and p.grad is not None]
+    assert not frozen_with_grad
+    t_grads = {k: (p.grad.detach().numpy() if p.grad is not None
+                   else np.zeros_like(p.detach().numpy()))
+               for k, p in t_dec.named_parameters()}
+
+    p_dec = convert_unet_state_dict(
+        {k: v.numpy() for k, v in env["t_dec"].state_dict().items()})
+    shift0, frozen0 = split_shift_unet(p_dec)
+
+    from pdae_tpu.models import ShiftUNet as JShift
+    jcfg = {**UNET_CFG, "channel_multiplier": (1, 2),
+            "attention_resolutions": (2,)}
+    j_dec = JShift(latent_dim=LATENT_DIM, **jcfg)
+
+    def loss_fn(shift):
+        out = GaussianDiffusion(
+            {"timesteps": T, "betas_type": "linear"}
+        ).representation_learning_train_one_batch(
+            None, jax_encoder,
+            lambda x, t, z: j_dec.apply(
+                {"params": merge_params(frozen0, shift)}, x, t, z),
+            jnp.asarray(to_nhwc(data["x"])),
+            t=jnp.asarray(t_vals.astype(np.int32)),
+            noise=jnp.asarray(to_nhwc(noise)))
+        return out["prediction_loss"]
+
+    loss, j_grads = jax.value_and_grad(loss_fn)(shift0)
+    np.testing.assert_allclose(float(loss),
+                               float(want["prediction_loss"].detach()),
+                               rtol=1e-4, atol=1e-6)
+
+    want_shift_grads, want_frozen_grads = split_shift_unet(
+        convert_unet_state_dict(t_grads))
+    # reference's freeze left the trunk grad-free (all zeros after fill)
+    assert all(not np.any(l) for l in
+               jax.tree_util.tree_leaves(want_frozen_grads))
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(j_grads))
+    flat_w = jax.tree_util.tree_leaves_with_path(want_shift_grads)
+    assert len(flat_w) == len(flat_g)
+    for path, wg in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), wg, rtol=1e-3, atol=2e-5,
+            err_msg=f"shift grad mismatch at {jax.tree_util.keystr(path)}")
