@@ -183,3 +183,21 @@ def test_tp_validation(tmp_path):
     cfg = _tp_config({"tp_size": 2, "mesh_layout": "hier"})
     with pytest.raises(ValueError, match="hier"):
         RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "b"))
+
+
+def test_tp_chunked_dispatch(tmp_path):
+    """steps_per_dispatch composes with tensor parallelism (the [K, B]
+    stacked batches shard dim 1 over the data axis only)."""
+    cfg = _tp_config({"steps_per_dispatch": 2,
+                      "save_latest_every_steps": 4,
+                      "display_steps": 2,
+                      "evaluate_every_steps": 1000})
+    tr = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "run"))
+    tr.train(max_steps=4)
+    assert int(tr.state.step) == 4
+
+    ref = RegularDiffusionTrainer(config=copy.deepcopy(TINY_CONFIG),
+                                  run_path=str(tmp_path / "ref"))
+    ref.train(max_steps=4)
+    for a, b in zip(_leaves(ref.state.params), _leaves(tr.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
