@@ -317,3 +317,34 @@ def test_lmdb_fuzz_roundtrip(tmp_path):
         assert got == items
         assert list(got) == sorted(items)  # B+tree key order
         r.close()
+
+
+def test_lmdb_scale_depth4(tmp_path):
+    """Depth-4 B+tree via long keys (low branching factor): exercises >=3
+    branch levels -- one deeper than the 150k-entry test, covering the
+    recursion depth the multi-million-entry production LMDBs can reach.
+    Python and C++ readers must agree on probes, misses, and iteration."""
+    from pdae_tpu.data.lmdb_store import (NativeReader, Reader, _native_lib,
+                                          write_lmdb)
+
+    n = 6000
+    items = {b"K%06d" % i + b"x" * 392: b"val-%d" % i for i in range(n)}
+    path = str(tmp_path / "deep4")
+    write_lmdb(path, items)
+
+    r = Reader(path)
+    assert len(r) == n
+    assert r.depth >= 4, r.depth
+    rs = np.random.RandomState(1)
+    keys = sorted(items)
+    probes = [0, n - 1, *rs.randint(0, n, 64)]
+    for i in probes:
+        assert r.get(keys[i]) == items[keys[i]], i
+    assert r.get(b"K999999" + b"x" * 392) is None
+    assert sum(1 for _ in r.items()) == n
+
+    if _native_lib() is not None:
+        nr = NativeReader(path)
+        for i in probes:
+            assert nr.get(keys[i]) == items[keys[i]], i
+        assert nr.get(b"K999999" + b"x" * 392) is None
