@@ -21,6 +21,8 @@ Ops (gated by the artifacts present in the config):
 from __future__ import annotations
 
 import math
+import threading
+import time
 from typing import Optional
 
 import jax
@@ -74,6 +76,10 @@ class PDAEService:
             self._mesh = local_mesh()
         self._stats = None
         self._clf_weight = None
+        # lazy artifact loading (latent stats, classifier, generate fn) can
+        # be reached from a batcher worker thread and a direct caller at
+        # once; loads are idempotent but this keeps them single-shot
+        self._init_lock = threading.Lock()
         ctx = self.ctx
 
         # params-first jitted programs; jax.jit caches one executable per
@@ -148,21 +154,22 @@ class PDAEService:
                  decode_style: Optional[str] = None) -> np.ndarray:
         """Unconditional samples via the latent DPM (uint8 [n,H,W,C])."""
         ctx = self.ctx
-        if self._generate_fn is None:
-            ctx.build_latent()
-            ctx.lat_params = self._place_params(ctx.lat_params)
-            self._stats = ctx.latent_stats()
-            gd = ctx.gd
+        with self._init_lock:
+            if self._generate_fn is None:
+                ctx.build_latent()
+                ctx.lat_params = self._place_params(ctx.lat_params)
+                self._stats = ctx.latent_stats()
+                gd = ctx.gd
 
-            def fn(lp, dp, z_T, x_T, ls, ds):
-                return gd.latent_diffusion_sample(
-                    None, ls, ds,
-                    lambda zt, tt: ctx.latent_apply(lp, zt, tt),
-                    lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
-                    x_T, self._stats[0], self._stats[1],
-                    latent_dim=ctx.latent_input_channel, z_T=z_T)
+                def fn(lp, dp, z_T, x_T, ls, ds):
+                    return gd.latent_diffusion_sample(
+                        None, ls, ds,
+                        lambda zt, tt: ctx.latent_apply(lp, zt, tt),
+                        lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
+                        x_T, self._stats[0], self._stats[1],
+                        latent_dim=ctx.latent_input_channel, z_T=z_T)
 
-            self._generate_fn = jax.jit(fn, static_argnums=(4, 5))
+                self._generate_fn = jax.jit(fn, static_argnums=(4, 5))
         ls = latent_style or self.config.get("latent_ddim_style", "ddim100")
         ds = decode_style or self.config.get("decoder_ddim_style", "ddim100")
         key = jax.random.PRNGKey(seed)
@@ -184,9 +191,10 @@ class PDAEService:
                    decode_style: Optional[str] = None) -> np.ndarray:
         """Semantic attribute edit (reference manipulation sampler)."""
         ctx = self.ctx
-        if self._clf_weight is None:
-            self._stats = self._stats or ctx.latent_stats()
-            self._clf_weight = ctx.classifier_weight()
+        with self._init_lock:
+            if self._clf_weight is None:
+                self._stats = self._stats or ctx.latent_stats()
+                self._clf_weight = ctx.classifier_weight()
         if attribute is not None:
             from .data.datasets import CELEBAHQ
             if attribute not in CELEBAHQ.LABEL_TO_ID:
@@ -212,3 +220,105 @@ class PDAEService:
                              self._clf_weight, x, x_T,
                              jnp.float32(scale), int(class_id), ds)
         return to_uint8(np.asarray(out)[:n])
+
+
+class CoalescingBatcher:
+    """Merge concurrent per-image requests into single device batches.
+
+    Production serving pattern with no reference counterpart: N clients
+    each posting a few images would otherwise dispatch N small XLA
+    executions; the batcher drains all requests waiting at the end of a
+    short window, groups them by (op, kwargs), concatenates the images,
+    runs ONE bucketed call per group, and splits the results back.  Works
+    for the image-list ops (``encode`` / ``autoencode`` / ``manipulate``);
+    ``generate`` takes no batchable input so callers use the service
+    directly.
+
+    ``submit()`` blocks until the caller's slice is ready and re-raises
+    any op error in the calling thread.  ``stats()['calls']`` counts
+    underlying service invocations (tests assert coalescing happened).
+    """
+
+    OPS = ("encode", "autoencode", "manipulate")
+
+    def __init__(self, service: PDAEService, window_ms: float = 3.0):
+        self.service = service
+        self.window_s = window_ms / 1000.0
+        self._cv = threading.Condition()
+        self._pending = []
+        self._stop = False
+        self._calls = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, op: str, images, **kwargs):
+        if op not in self.OPS:
+            raise ValueError(f"op must be one of {self.OPS}, got {op!r}")
+        images = np.asarray(images)
+        slot = {"event": threading.Event()}
+        sig = (op, tuple(sorted(kwargs.items())))
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("batcher closed")
+            self._pending.append((sig, images, kwargs, slot))
+            self._cv.notify()
+        slot["event"].wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def stats(self):
+        with self._cv:
+            return {"calls": self._calls}
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._worker.join()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._pending:
+                    return
+            # short accumulation window: let concurrent posts pile up
+            time.sleep(self.window_s)
+            with self._cv:
+                batch, self._pending = self._pending, []
+            groups = {}
+            for sig, images, kwargs, slot in batch:
+                groups.setdefault(sig, []).append((images, kwargs, slot))
+            for sig, entries in groups.items():
+                op = sig[0]
+                # chunk so one group never exceeds the service bucket cap
+                cap = self.service.max_batch
+                i = 0
+                while i < len(entries):
+                    chunk, n = [], 0
+                    while i < len(entries) and (
+                            not chunk
+                            or n + len(entries[i][0]) <= cap):
+                        chunk.append(entries[i])
+                        n += len(entries[i][0])
+                        i += 1
+                    self._run_chunk(op, chunk)
+
+    def _run_chunk(self, op, chunk):
+        imgs = np.concatenate([e[0] for e in chunk], axis=0)
+        kwargs = chunk[0][1]
+        try:
+            out = getattr(self.service, op)(imgs, **kwargs)
+            with self._cv:
+                self._calls += 1
+            off = 0
+            for images, _, slot in chunk:
+                slot["out"] = out[off:off + len(images)]
+                off += len(images)
+                slot["event"].set()
+        except Exception as e:   # deliver the failure to every waiter
+            for _, _, slot in chunk:
+                slot["err"] = e
+                slot["event"].set()

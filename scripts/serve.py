@@ -11,8 +11,10 @@ Wraps ``pdae_tpu.serving.PDAEService``.  Endpoints:
   POST /manipulate  {"images": [...], "attribute"|"class_id", "scale"?, ...}
                                                             -> {"images": [...]}
 
-Images travel as base64-encoded PNG.  Requests are served sequentially
-(one device queue); batching happens per request.
+Images travel as base64-encoded PNG.  Concurrent image requests are
+COALESCED into shared device batches (``--coalesce-ms`` window, default
+3 ms; 0 falls back to sequential serving under one lock) -- N clients
+posting one image each cost one bucketed XLA execution, not N.
 
   python scripts/serve.py --config configs/sampler/unconditional_sample.yml \
       --port 8080 [--platform cpu]
@@ -46,8 +48,18 @@ def _array_to_png(arr) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def make_handler(service, lock):
+def make_handler(service, lock, batcher=None):
+    """``batcher`` (pdae_tpu.serving.CoalescingBatcher): when given, the
+    image-list ops go through it WITHOUT the global lock -- concurrent
+    requests coalesce into one device batch per (op, kwargs) group; only
+    ``generate`` (no batchable input) keeps the lock."""
     import numpy as np
+
+    def _run(op, images, **kwargs):
+        if batcher is not None:
+            return batcher.submit(op, images, **kwargs)
+        with lock:
+            return getattr(service, op)(images, **kwargs)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code, obj):
@@ -83,41 +95,41 @@ def make_handler(service, lock):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                with lock:
-                    if self.path == "/encode":
-                        x = np.stack([_png_to_array(b, service.channels)
-                                      for b in req["images"]])
-                        z = service.encode(x)
-                        self._reply(200, {"z": z.tolist()})
-                    elif self.path == "/autoencode":
-                        x = np.stack([_png_to_array(b, service.channels)
-                                      for b in req["images"]])
-                        out = service.autoencode(
-                            x, req.get("encode_style"),
-                            req.get("decode_style"))
-                        self._reply(200, {"images": [
-                            _array_to_png(im) for im in out]})
-                    elif self.path == "/generate":
+                if self.path == "/encode":
+                    x = np.stack([_png_to_array(b, service.channels)
+                                  for b in req["images"]])
+                    z = _run("encode", x)
+                    self._reply(200, {"z": z.tolist()})
+                elif self.path == "/autoencode":
+                    x = np.stack([_png_to_array(b, service.channels)
+                                  for b in req["images"]])
+                    out = _run("autoencode", x,
+                               encode_style=req.get("encode_style"),
+                               decode_style=req.get("decode_style"))
+                    self._reply(200, {"images": [
+                        _array_to_png(im) for im in out]})
+                elif self.path == "/generate":
+                    with lock:
                         out = service.generate(
                             int(req.get("num_samples", 1)),
                             seed=int(req.get("seed", 0)),
                             latent_style=req.get("latent_style"),
                             decode_style=req.get("decode_style"))
-                        self._reply(200, {"images": [
-                            _array_to_png(im) for im in out]})
-                    elif self.path == "/manipulate":
-                        x = np.stack([_png_to_array(b, service.channels)
-                                      for b in req["images"]])
-                        out = service.manipulate(
-                            x, attribute=req.get("attribute"),
-                            class_id=int(req.get("class_id", 31)),
-                            scale=float(req.get("scale", 0.3)),
-                            encode_style=req.get("encode_style"),
-                            decode_style=req.get("decode_style"))
-                        self._reply(200, {"images": [
-                            _array_to_png(im) for im in out]})
-                    else:
-                        self._reply(404, {"error": "not found"})
+                    self._reply(200, {"images": [
+                        _array_to_png(im) for im in out]})
+                elif self.path == "/manipulate":
+                    x = np.stack([_png_to_array(b, service.channels)
+                                  for b in req["images"]])
+                    out = _run("manipulate", x,
+                               attribute=req.get("attribute"),
+                               class_id=int(req.get("class_id", 31)),
+                               scale=float(req.get("scale", 0.3)),
+                               encode_style=req.get("encode_style"),
+                               decode_style=req.get("decode_style"))
+                    self._reply(200, {"images": [
+                        _array_to_png(im) for im in out]})
+                else:
+                    self._reply(404, {"error": "not found"})
             except Exception as e:  # surface errors as JSON, keep serving
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -130,6 +142,9 @@ def main():
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--platform", default=None)
+    p.add_argument("--coalesce-ms", type=float, default=3.0,
+                   help="batch-coalescing window for concurrent image "
+                        "requests; 0 disables (serve under one lock)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -137,12 +152,15 @@ def main():
 
     import threading
 
-    from pdae_tpu.serving import PDAEService
+    from pdae_tpu.serving import CoalescingBatcher, PDAEService
     from pdae_tpu.utils import load_yaml
 
     service = PDAEService(load_yaml(args.config))
+    batcher = (CoalescingBatcher(service, window_ms=args.coalesce_ms)
+               if args.coalesce_ms > 0 else None)
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(service, threading.Lock()))
+                                 make_handler(service, threading.Lock(),
+                                              batcher))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
 

@@ -172,3 +172,97 @@ def test_tp_service_matches_dp(service, stack):
     g_ref = service.generate(2, seed=7)
     g_tp = tp.generate(2, seed=7)
     assert np.max(np.abs(g_tp.astype(int) - g_ref.astype(int))) <= 1
+
+
+def test_coalescing_batcher(service):
+    """Concurrent submissions coalesce into shared device batches: results
+    match the direct per-request calls, and the underlying service is
+    invoked fewer times than there were requests."""
+    from pdae_tpu.serving import CoalescingBatcher
+
+    b = CoalescingBatcher(service, window_ms=150.0)
+    try:
+        reqs = [_images(2) + i for i in range(6)]     # distinct contents
+        want = [service.encode(r) for r in reqs]
+
+        outs = [None] * len(reqs)
+
+        def worker(i):
+            outs[i] = b.submit("encode", reqs[i])
+
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(len(reqs))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for got, exp in zip(outs, want):
+            np.testing.assert_allclose(got, exp, atol=1e-5)
+        # 6 requests x 2 images = 12 <= max_batch 8 is false -> 2 chunks;
+        # either way far fewer calls than requests
+        assert b.stats()["calls"] < len(reqs), b.stats()
+
+        # kwargs define the group: different decode styles don't mix
+        r = _images(1)
+        a1 = b.submit("autoencode", r, encode_style="ddim5",
+                      decode_style="ddim5")
+        assert a1.shape == (1, 16, 16, 1)
+
+        # an oversized single request fails in the worker and re-raises
+        # in the caller
+        with pytest.raises(ValueError, match="max_batch"):
+            b.submit("encode", _images(9))
+        # the batcher survives the failure
+        np.testing.assert_allclose(b.submit("encode", reqs[0]), want[0],
+                                   atol=1e-5)
+        with pytest.raises(ValueError, match="op must be"):
+            b.submit("generate", reqs[0])
+    finally:
+        b.close()
+
+
+def test_http_coalescing(stack):
+    """The HTTP layer wired through the batcher: concurrent autoencode
+    posts produce correct per-request results from shared batches."""
+    from http.server import ThreadingHTTPServer
+
+    from pdae_tpu.serving import CoalescingBatcher, PDAEService
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli2", os.path.join(REPO, "scripts", "serve.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    service = PDAEService(_service_config(stack))
+    batcher = CoalescingBatcher(service, window_ms=100.0)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        mod.make_handler(service, threading.Lock(), batcher))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        imgs = _images(4)
+        want = service.autoencode(imgs, "ddim5", "ddim5")
+
+        results = {}
+
+        def post(i):
+            results[i] = _post(url, "/autoencode", {
+                "images": [mod._array_to_png(imgs[i])],
+                "encode_style": "ddim5", "decode_style": "ddim5"})
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        for i in range(4):
+            got = mod._png_to_array(results[i]["images"][0], channels=1)
+            # bucket-size-dependent float noise can flip a uint8 rounding
+            # when requests split across coalescing windows
+            assert np.abs(got.astype(int) - want[i].astype(int)).max() <= 1
+        assert batcher.stats()["calls"] <= 3, batcher.stats()
+    finally:
+        server.shutdown()
+        batcher.close()
