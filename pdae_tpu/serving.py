@@ -204,16 +204,17 @@ class PDAEService:
             class_id = CELEBAHQ.LABEL_TO_ID[attribute]
         es = encode_style or self.config.get("encode_ddim_style", "ddim500")
         ds = decode_style or self.config.get("decode_ddim_style", "ddim200")
-        if self._manip_fn is None:
-            gd = ctx.gd
+        with self._init_lock:
+            if self._manip_fn is None:
+                gd = ctx.gd
 
-            def fn(ep, dp, w, x, xt, s, cid, dstyle):
-                return gd.manipulation_sample(
-                    dstyle, w, lambda xx: ctx.enc_apply(ep, xx),
-                    lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
-                    x, xt, self._stats[0], self._stats[1], cid, s)
+                def fn(ep, dp, w, x, xt, s, cid, dstyle):
+                    return gd.manipulation_sample(
+                        dstyle, w, lambda xx: ctx.enc_apply(ep, xx),
+                        lambda xx, tt, zz: ctx.dec_apply(dp, xx, tt, zz),
+                        x, xt, self._stats[0], self._stats[1], cid, s)
 
-            self._manip_fn = jax.jit(fn, static_argnums=(6, 7))
+                self._manip_fn = jax.jit(fn, static_argnums=(6, 7))
         x, n = self._pad_bucket_shard(self._to_model_input(images))
         x_T = self._encode_xt_fn(ctx.enc_params, ctx.dec_params, x, es)
         out = self._manip_fn(ctx.enc_params, ctx.dec_params,
@@ -256,7 +257,16 @@ class CoalescingBatcher:
             raise ValueError(f"op must be one of {self.OPS}, got {op!r}")
         images = np.asarray(images)
         slot = {"event": threading.Event()}
-        sig = (op, tuple(sorted(kwargs.items())))
+        # the group key includes per-image shape and dtype: requests with
+        # different geometries or uint8-vs-float inputs must NOT share a
+        # concatenated batch (concat would fail, or dtype promotion would
+        # silently skip _to_model_input's uint8 rescale)
+        sig = (op, tuple(sorted(kwargs.items())),
+               images.shape[1:], images.dtype.str)
+        try:
+            hash(sig)   # unhashable kwarg value: fail HERE, in the caller,
+        except TypeError as e:   # never in the shared worker thread
+            raise TypeError(f"non-hashable kwargs for coalescing: {e}")
         with self._cv:
             if self._stop:
                 raise RuntimeError("batcher closed")
@@ -288,23 +298,32 @@ class CoalescingBatcher:
             time.sleep(self.window_s)
             with self._cv:
                 batch, self._pending = self._pending, []
-            groups = {}
-            for sig, images, kwargs, slot in batch:
-                groups.setdefault(sig, []).append((images, kwargs, slot))
-            for sig, entries in groups.items():
-                op = sig[0]
-                # chunk so one group never exceeds the service bucket cap
-                cap = self.service.max_batch
-                i = 0
-                while i < len(entries):
-                    chunk, n = [], 0
-                    while i < len(entries) and (
-                            not chunk
-                            or n + len(entries[i][0]) <= cap):
-                        chunk.append(entries[i])
-                        n += len(entries[i][0])
-                        i += 1
-                    self._run_chunk(op, chunk)
+            try:
+                groups = {}
+                for sig, images, kwargs, slot in batch:
+                    groups.setdefault(sig, []).append((images, kwargs, slot))
+                for sig, entries in groups.items():
+                    op = sig[0]
+                    # chunk so one group never exceeds the service bucket cap
+                    cap = self.service.max_batch
+                    i = 0
+                    while i < len(entries):
+                        chunk, n = [], 0
+                        while i < len(entries) and (
+                                not chunk
+                                or n + len(entries[i][0]) <= cap):
+                            chunk.append(entries[i])
+                            n += len(entries[i][0])
+                            i += 1
+                        self._run_chunk(op, chunk)
+            except Exception as e:
+                # catch-all: the worker must never die with waiters blocked
+                # (submit() waits with no timeout) -- deliver the failure to
+                # every slot of this drained batch that hasn't resolved yet
+                for _, _, _, slot in batch:
+                    if not slot["event"].is_set():
+                        slot["err"] = e
+                        slot["event"].set()
 
     def _run_chunk(self, op, chunk):
         imgs = np.concatenate([e[0] for e in chunk], axis=0)

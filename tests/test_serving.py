@@ -217,6 +217,24 @@ def test_coalescing_batcher(service):
                                    atol=1e-5)
         with pytest.raises(ValueError, match="op must be"):
             b.submit("generate", reqs[0])
+        # unhashable kwargs fail in the CALLER, not the worker
+        with pytest.raises(TypeError, match="non-hashable"):
+            b.submit("encode", reqs[0], attribute=["Male"])
+        # uint8 and float inputs never share a batch (dtype in group key):
+        # the uint8 request still gets its [0,255] rescale
+        u8 = _images(1)
+        f32 = (u8.astype(np.float32) / 255.0 * 2.0 - 1.0)
+        outs2 = [None, None]
+        ts2 = [threading.Thread(
+                   target=lambda i, r: outs2.__setitem__(
+                       i, b.submit("encode", r)), args=(i, r))
+               for i, r in enumerate((u8, f32))]
+        for t in ts2:
+            t.start()
+        for t in ts2:
+            t.join()
+        np.testing.assert_allclose(outs2[0], outs2[1], atol=1e-5)
+        np.testing.assert_allclose(outs2[0], service.encode(u8), atol=1e-5)
     finally:
         b.close()
 
@@ -234,7 +252,7 @@ def test_http_coalescing(stack):
     spec.loader.exec_module(mod)
 
     service = PDAEService(_service_config(stack))
-    batcher = CoalescingBatcher(service, window_ms=100.0)
+    batcher = CoalescingBatcher(service, window_ms=250.0)
     server = ThreadingHTTPServer(
         ("127.0.0.1", 0),
         mod.make_handler(service, threading.Lock(), batcher))
@@ -244,6 +262,10 @@ def test_http_coalescing(stack):
     try:
         imgs = _images(4)
         want = service.autoencode(imgs, "ddim5", "ddim5")
+        # pre-compile the small buckets so drain cycles don't stall on
+        # compiles and stagger the posts across windows (1-core VM)
+        for k in (1, 2):
+            service.autoencode(imgs[:k], "ddim5", "ddim5")
 
         results = {}
 
