@@ -63,6 +63,8 @@ def main():
                    help="per-chip train batch (celeba64 config uses 32)")
     p.add_argument("--skip_128", action="store_true")
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--skip_latency", action="store_true",
+                   help="skip the batch-1 DDIM-100 serving-latency point")
     p.add_argument("--train_scan", type=int, default=0, metavar="K",
                    help="also bench K train steps scanned into one XLA "
                         "program (runner_config.steps_per_dispatch; "
@@ -335,6 +337,15 @@ def main():
                else bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
                                 n_steps=12))
 
+    # serving latency: ONE image through the whole DDIM-100 decode (the
+    # batch-1 regime the resident service lives in; throughput numbers
+    # above can't be divided down to this -- the chip is underutilized
+    # at b1, so it must be measured)
+    latency_b1_ms = None
+    if not args.skip_latency:
+        r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4)
+        latency_b1_ms = round(1000.0 / r1["imgs_per_sec"], 1)
+
     strip = lambda r: {k: v for k, v in r.items()
                        if k not in ("model", "params", "x_T", "z", "fused")}
     result = {
@@ -356,6 +367,7 @@ def main():
         "ddim100_128px": strip(best128) if best128 else None,
         "sweep_128px": [strip(r) for r in sweep128],
         "train_64px": train64,
+        "latency_b1_ms_ddim100_64px": latency_b1_ms,
     }
 
     if args.trace:
