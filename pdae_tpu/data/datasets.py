@@ -21,6 +21,7 @@ import gzip
 import io
 import os
 import struct
+import threading
 from typing import Dict, Optional
 
 import numpy as np
@@ -69,12 +70,17 @@ class LMDBImageDataset:
         # parity vs PIL is within +/-1 uint8 step (tests/test_data.py).
         self.fast_decode = bool(config.get("fast_decode", True))
         self._reader: Optional[Reader] = None
+        self._reader_lock = threading.Lock()
 
     def _txn(self) -> Reader:
-        # lazy per-worker open, like the reference's per-worker txn
-        # (dataset/celeba64.py:56-57)
+        # lazy shared open, like the reference's per-worker txn
+        # (dataset/celeba64.py:56-57).  The Loader's thread pool hits this
+        # concurrently on the first batch; the lock keeps it to ONE open
+        # (readers are stateless mmaps, safe to share across threads)
         if self._reader is None:
-            self._reader = open_lmdb(self.data_path)
+            with self._reader_lock:
+                if self._reader is None:
+                    self._reader = open_lmdb(self.data_path)
         return self._reader
 
     def __len__(self) -> int:

@@ -40,10 +40,9 @@ class Loader:
         self._augment_seed = augment_seed
 
     def __len__(self):
-        n = len(self.dataset) // self.world
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        # must agree with the actual epoch stream: _epoch_indices pads the
+        # dataset to a world multiple before slicing per rank
+        return self.batches_per_epoch()
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)

@@ -28,10 +28,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return
+    # `is not None` (not `or`): process_id=0 is a valid explicit rank and
+    # must not fall through to the env var
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]))
+        num_processes=(num_processes if num_processes is not None
+                       else int(os.environ["JAX_NUM_PROCESSES"])),
+        process_id=(process_id if process_id is not None
+                    else int(os.environ["JAX_PROCESS_ID"])))
 
 
 def process_count() -> int:

@@ -460,22 +460,35 @@ class UnconditionalSample(BaseSampler):
         fid_cfg = self.config.get("fid")
         if fid_cfg:
             from ..metrics import FIDMetric, inception_feature_fn
+            from ..metrics.fid import activation_statistics
             feature_fn = inception_feature_fn(fid_cfg.get("inception_path"))
             m = (FIDMetric.from_stats_file(feature_fn, fid_cfg["stats_path"])
                  if fid_cfg.get("stats_path") else FIDMetric(feature_fn))
             if m.target_mu is None:
+                # reference features are the heavy half of FID: shard the
+                # InceptionV3 forwards across processes like the generated
+                # side, gather FEATURES, stats on the primary only
                 ds = ctx.dataset()
                 collate = type(ds).collate_fn
                 ref_n = min(int(fid_cfg.get("num_reference", 1000)), len(ds))
-                gts = collate([ds[i] for i in range(ref_n)])["gts"]
-                m.set_target_from_images(gts)
+                my_ref = process_shard_indices(ref_n, pad_to_even=False)
+                ref_local = (feature_fn(collate(
+                    [ds[int(i)] for i in my_ref])["gts"])
+                    if len(my_ref) else None)
+                parts = [f for f in gather_objects([ref_local])
+                         if f is not None and len(f)]
+                if is_primary():
+                    m.target_mu, m.target_sigma = activation_statistics(
+                        np.concatenate(parts, axis=0))
             # features from the LOCAL shard only; the gather happens on
             # features (computing them on the gathered set would duplicate
             # work and bias np.cov's normalization world-fold)
             if len(local_images):
                 m.process(local_images)
             m.all_gather_results()
-            fid = m.compute_metrics()
+            # the 2048x2048 sqrtm runs once, on the primary (reference
+            # prints metrics on rank 0 only, autoencoding_eval.py:95-99)
+            fid = m.compute_metrics() if is_primary() else None
             if is_primary():
                 print({"fid": fid})
             return out, fid

@@ -124,6 +124,8 @@ class PDAEService:
     def _pad_bucket_shard(self, x: jnp.ndarray):
         """Pad the batch to its bucket, then shard over local chips."""
         n = int(x.shape[0])
+        if n == 0:
+            raise ValueError("empty batch")
         if n > self.max_batch:
             raise ValueError(f"batch {n} exceeds max_batch {self.max_batch}")
         b = _bucket(n, self.max_batch)

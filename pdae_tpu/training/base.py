@@ -484,57 +484,78 @@ class BaseTrainer:
             except ValueError:
                 pass
         t_end = time.perf_counter()
-        while (max_steps is None or step < max_steps) and not stop["flag"]:
-            t0 = time.perf_counter()
-            batch = next(it)
-            t1 = time.perf_counter()
-            if k > 1:
-                # leading (chunk) dim is static array metadata, no sync
-                step += jax.tree_util.tree_leaves(batch)[0].shape[0]
-                self.state, metrics = multi_step(self.state, extras, batch)
-            else:
-                step += 1
-                self.state, metrics = self.train_step(self.state, batch)
-            # keep DEVICE scalars/arrays (no host sync) every step; block
-            # once per display window when converting to floats
-            for name, v in metrics.items():
-                losses[name].append(v)
-            meters.add("load_data", t1 - t0)
-            if step % display == 0:
-                avg = {name: float(np.mean(np.concatenate(
-                           [np.atleast_1d(np.asarray(x, np.float64))
-                            for x in v])))
-                       for name, v in losses.items()}
-                t2 = time.perf_counter()
-                window = t2 - t_end
-                rate = display / window if step > display else 0.0
-                self.logger.scalars(step, {
-                    **avg, "steps_per_sec": rate,
-                    "time/step": window / display,
-                    "time/load_data": meters.summary().get("load_data", 0.0)})
-                if is_primary():
-                    print(f"step {step}: " + " ".join(
-                        f"{k}={v:.5f}" for k, v in avg.items())
-                        + f" ({rate:.2f} it/s)", flush=True)
-                losses.clear()
-                meters.reset()
-                if multiproc:
-                    from ..parallel import gather_objects
-                    stop["flag"] = any(gather_objects([stop["local"]]))
-                t_end = time.perf_counter()
-            if step % save_latest == 0 or step % save_snap == 0:
-                # one save covers both cadences (a snapshot step would
-                # otherwise pay the state_dict gather + write twice)
-                self.save(step, snapshot=step % save_snap == 0)
-                last_saved = step
-            if step % eval_every == 0:
-                self.evaluate(step)
-        if self.profile_dir and is_primary():
-            jax.profiler.stop_trace()
-        for sig, handler in old_handlers.items():
-            signal.signal(sig, handler)
-        # final save: short runs and preempted runs always leave a checkpoint
-        if step != last_saved:
-            self.save(step)
-        self._join_save()   # don't return (or exit) with a write in flight
+        window_steps = 0       # true step count per display window (the
+        first_window = True    # first window of a run/resume holds compile)
+        try:
+            while (max_steps is None or step < max_steps) and not stop["flag"]:
+                t0 = time.perf_counter()
+                batch = next(it)
+                t1 = time.perf_counter()
+                if k > 1:
+                    # leading (chunk) dim is static array metadata, no sync
+                    c = jax.tree_util.tree_leaves(batch)[0].shape[0]
+                    step += c
+                    window_steps += c
+                    self.state, metrics = multi_step(self.state, extras,
+                                                     batch)
+                else:
+                    step += 1
+                    window_steps += 1
+                    self.state, metrics = self.train_step(self.state, batch)
+                # keep DEVICE scalars/arrays (no host sync) every step;
+                # block once per display window when converting to floats
+                for name, v in metrics.items():
+                    losses[name].append(v)
+                meters.add("load_data", t1 - t0)
+                if step % display == 0:
+                    avg = {name: float(np.mean(np.concatenate(
+                               [np.atleast_1d(np.asarray(x, np.float64))
+                                for x in v])))
+                           for name, v in losses.items()}
+                    t2 = time.perf_counter()
+                    window = t2 - t_end
+                    # rate from the ACTUAL steps in this window (a resume
+                    # from a signal-time checkpoint realigns mid-window);
+                    # 0.0 for the first window, which holds the compile
+                    rate = 0.0 if first_window else window_steps / window
+                    self.logger.scalars(step, {
+                        **avg, "steps_per_sec": rate,
+                        "time/step": window / max(window_steps, 1),
+                        "time/load_data": meters.summary().get(
+                            "load_data", 0.0)})
+                    if is_primary():
+                        print(f"step {step}: " + " ".join(
+                            f"{k}={v:.5f}" for k, v in avg.items())
+                            + f" ({rate:.2f} it/s)", flush=True)
+                    losses.clear()
+                    meters.reset()
+                    first_window = False
+                    window_steps = 0
+                    if multiproc:
+                        from ..parallel import gather_objects
+                        stop["flag"] = any(gather_objects([stop["local"]]))
+                    t_end = time.perf_counter()
+                if step % save_latest == 0 or step % save_snap == 0:
+                    # one save covers both cadences (a snapshot step would
+                    # otherwise pay the state_dict gather + write twice)
+                    self.save(step, snapshot=step % save_snap == 0)
+                    last_saved = step
+                if step % eval_every == 0:
+                    self.evaluate(step)
+            # final save (normal exit only -- short and preempted runs
+            # always leave a checkpoint; on an exception the last GOOD
+            # checkpoint must not be overwritten mid-flight)
+            if step != last_saved:
+                self.save(step)
+        finally:
+            # an exception mid-loop must not leak the replaced signal
+            # handlers, an open profiler trace, or an unjoined save thread
+            if self.profile_dir and is_primary():
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
+            self._join_save()   # never return/raise with a write in flight
         return step

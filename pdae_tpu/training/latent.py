@@ -23,7 +23,8 @@ from ..utils import init_key, process_key, restore_into, save_image_grid, to_uin
 from ..utils.rng import step_key
 from .artifacts import load_latent_stats, load_pdae, resolve_model_config
 from .base import BaseTrainer
-from .state import TrainState, make_optimizer, maybe_ema_update
+from .state import (TrainState, accumulate_grads, make_optimizer,
+                    maybe_ema_update)
 
 
 class LatentDiffusionTrainer(BaseTrainer):
@@ -98,7 +99,7 @@ class LatentDiffusionTrainer(BaseTrainer):
         def train_step(state: TrainState, enc_p, batch):
             rng = step_key(self._base_rng, state.step)
 
-            def loss_fn(params, x_0, key):
+            def loss_fn(params, x_0, _cond, key):
                 key, drop_key = jax.random.split(key)
                 out = gd.latent_diffusion_train_one_batch(
                     key,
@@ -108,26 +109,8 @@ class LatentDiffusionTrainer(BaseTrainer):
                     lambda xx: enc_apply(enc_p, xx), x_0, mean, std)
                 return out["prediction_loss"]
 
-            x_0 = batch["x_0"]
-            if num_iters > 1:
-                mb = x_0.shape[0] // num_iters
-                x_0 = x_0.reshape((num_iters, mb) + x_0.shape[1:])
-                keys = jax.random.split(rng, num_iters)
-
-                def micro(carry, inp):
-                    xb, key = inp
-                    l, g = jax.value_and_grad(loss_fn)(state.params, xb, key)
-                    la, ga = carry
-                    return (la + l,
-                            jax.tree_util.tree_map(jnp.add, ga, g)), None
-
-                zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-                (loss, grads), _ = jax.lax.scan(micro, (0.0, zero),
-                                                (x_0, keys))
-                loss = loss / num_iters
-                grads = jax.tree_util.tree_map(lambda g: g / num_iters, grads)
-            else:
-                loss, grads = jax.value_and_grad(loss_fn)(state.params, x_0, rng)
+            loss, grads = accumulate_grads(
+                loss_fn, state.params, batch["x_0"], rng, num_iters)
 
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(jnp.add, state.params, updates)

@@ -24,7 +24,8 @@ from ..models import build_denoise_fn
 from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
 from ..utils.rng import step_key
 from .base import BaseTrainer
-from .state import TrainState, make_optimizer, maybe_ema_update
+from .state import (TrainState, accumulate_grads, make_optimizer,
+                    maybe_ema_update)
 
 
 class RegularDiffusionTrainer(BaseTrainer):
@@ -75,32 +76,9 @@ class RegularDiffusionTrainer(BaseTrainer):
                     x_0, cond)
                 return out["prediction_loss"]
 
-            x_0 = batch["x_0"]
-            cond = batch.get("condition") if conditional else None
-            if num_iters > 1:
-                mb = x_0.shape[0] // num_iters
-                x_0 = x_0.reshape((num_iters, mb) + x_0.shape[1:])
-                conds = (cond.reshape((num_iters, mb) + cond.shape[1:])
-                         if cond is not None else None)
-                keys = jax.random.split(rng, num_iters)
-
-                def micro(carry, inp):
-                    i, (xb, key) = inp
-                    cb = None if conds is None else conds[i]
-                    l, g = jax.value_and_grad(loss_fn)(state.params, xb, cb, key)
-                    loss_acc, grad_acc = carry
-                    return (loss_acc + l,
-                            jax.tree_util.tree_map(jnp.add, grad_acc, g)), None
-
-                zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-                (loss, grads), _ = jax.lax.scan(
-                    micro, (0.0, zero),
-                    (jnp.arange(num_iters), (x_0, keys)))
-                loss = loss / num_iters
-                grads = jax.tree_util.tree_map(lambda g: g / num_iters, grads)
-            else:
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, x_0, cond, rng)
+            loss, grads = accumulate_grads(
+                loss_fn, state.params, batch["x_0"], rng, num_iters,
+                cond=batch.get("condition") if conditional else None)
 
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(jnp.add, state.params, updates)

@@ -34,7 +34,8 @@ from .artifacts import (graft_ddpm_into_decoder, load_ddpm_params,
                         resolve_model_config)
 from .base import BaseTrainer
 from .partition import merge_params, split_shift_unet
-from .state import TrainState, make_optimizer, maybe_ema_update
+from .state import (TrainState, accumulate_grads, make_optimizer,
+                    maybe_ema_update)
 
 
 class RepresentationLearningTrainer(BaseTrainer):
@@ -100,7 +101,7 @@ class RepresentationLearningTrainer(BaseTrainer):
         def train_step(state: TrainState, frozen, batch):
             rng = step_key(self._base_rng, state.step)
 
-            def loss_fn(params, x_0, key):
+            def loss_fn(params, x_0, _cond, key):
                 key, drop_key = jax.random.split(key)
                 def dec_train(xx, tt, zz):
                     # frozen trunk stays in eval mode; only the shift branch
@@ -115,26 +116,8 @@ class RepresentationLearningTrainer(BaseTrainer):
                     dec_train, x_0)
                 return out["prediction_loss"]
 
-            x_0 = batch["x_0"]
-            if num_iters > 1:
-                mb = x_0.shape[0] // num_iters
-                x_0 = x_0.reshape((num_iters, mb) + x_0.shape[1:])
-                keys = jax.random.split(rng, num_iters)
-
-                def micro(carry, inp):
-                    xb, key = inp
-                    l, g = jax.value_and_grad(loss_fn)(state.params, xb, key)
-                    la, ga = carry
-                    return (la + l,
-                            jax.tree_util.tree_map(jnp.add, ga, g)), None
-
-                zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-                (loss, grads), _ = jax.lax.scan(micro, (0.0, zero),
-                                                (x_0, keys))
-                loss = loss / num_iters
-                grads = jax.tree_util.tree_map(lambda g: g / num_iters, grads)
-            else:
-                loss, grads = jax.value_and_grad(loss_fn)(state.params, x_0, rng)
+            loss, grads = accumulate_grads(
+                loss_fn, state.params, batch["x_0"], rng, num_iters)
 
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(jnp.add, state.params, updates)

@@ -43,13 +43,49 @@ def make_optimizer(optimizer_config: dict) -> optax.GradientTransformation:
     eps = float(optimizer_config.get("adam_eps", 1e-8))
     wd = float(optimizer_config.get("weight_decay", 0.0))
     name = optimizer_config.get("name", "Adam")
-    if name == "AdamW" or (wd > 0 and name != "Adam"):
+    if name not in ("Adam", "AdamW"):
+        # never substitute silently: a typo'd name would train with the
+        # wrong optimizer and misattribute the results
+        raise ValueError(f"optimizer_config.name must be 'Adam' or "
+                         f"'AdamW' (the two the reference uses, "
+                         f"train_latent_diffusion.py:72-93), got {name!r}")
+    if name == "AdamW":
         return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
     tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
     if wd > 0:
         # torch Adam's weight_decay is L2-into-gradient
         tx = optax.chain(optax.add_decayed_weights(wd), tx)
     return tx
+
+
+def accumulate_grads(loss_fn, params, x_0, rng, num_iters: int, cond=None):
+    """Mean (loss, grads) over ``num_iters`` micro-batches as ONE
+    ``lax.scan`` inside the jitted step — the reference's
+    ``num_iterations`` gradient accumulation
+    (train_regular_diffusion.py:72-97) without per-micro-batch host
+    dispatch.  ``loss_fn(params, x_b, cond_b, key)``; ``cond_b`` is None
+    when ``cond`` is None (trainers without a conditioning input ignore
+    it).  Shared by the regular/representation/latent trainers."""
+    if num_iters <= 1:
+        return jax.value_and_grad(loss_fn)(params, x_0, cond, rng)
+    mb = x_0.shape[0] // num_iters
+    x_mb = x_0.reshape((num_iters, mb) + x_0.shape[1:])
+    cond_mb = (cond.reshape((num_iters, mb) + cond.shape[1:])
+               if cond is not None else None)
+    keys = jax.random.split(rng, num_iters)
+
+    def micro(carry, inp):
+        i, xb, key = inp
+        cb = None if cond_mb is None else cond_mb[i]
+        l, g = jax.value_and_grad(loss_fn)(params, xb, cb, key)
+        la, ga = carry
+        return (la + l, jax.tree_util.tree_map(jnp.add, ga, g)), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (loss, grads), _ = jax.lax.scan(
+        micro, (0.0, zero), (jnp.arange(num_iters), x_mb, keys))
+    return loss / num_iters, jax.tree_util.tree_map(
+        lambda g: g / num_iters, grads)
 
 
 def ema_update(ema, params, decay: float):

@@ -348,3 +348,16 @@ def test_lmdb_scale_depth4(tmp_path):
         for i in probes:
             assert nr.get(keys[i]) == items[keys[i]], i
         assert nr.get(b"K999999" + b"x" * 392) is None
+
+
+def test_loader_len_matches_epoch_stream():
+    """len(loader) must equal the number of batches an epoch actually
+    yields (indices are world-padded before the per-rank slice)."""
+    from pdae_tpu.data import Loader, build_dataset
+
+    ds = build_dataset({"name": "SYNTHETIC", "image_size": 8,
+                        "image_channel": 1, "length": 199})
+    loader = Loader(ds, batch_size=50, shuffle=False, seed=0,
+                    num_workers=1, process_index=0, process_count=2)
+    n_batches = sum(1 for _ in loader.epoch(0))
+    assert len(loader) == loader.batches_per_epoch() == n_batches

@@ -172,3 +172,10 @@ def test_sigint_checkpoints_and_stops(tmp_path):
     tr2 = RegularDiffusionTrainer(config=TINY_CONFIG, run_path=run,
                                   resume="latest")
     assert tr2.start_step == 2
+
+
+def test_unknown_optimizer_name_rejected():
+    from pdae_tpu.training.state import make_optimizer
+
+    with pytest.raises(ValueError, match="optimizer_config.name"):
+        make_optimizer({"lr": 1e-3, "name": "SGD"})
