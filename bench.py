@@ -192,10 +192,9 @@ def main():
         import optax  # noqa: F401 (state.make_optimizer uses it)
         from pdae_tpu.models import encoder_for_resolution
         from pdae_tpu.models.encoder import SemanticEncoder
-        from pdae_tpu.training.partition import (merge_params,
-                                                 split_shift_unet)
-        from pdae_tpu.training.state import (TrainState, ema_update,
-                                             make_optimizer)
+        from pdae_tpu.training.partition import split_shift_unet
+        from pdae_tpu.training.state import TrainState, make_optimizer
+        from pdae_tpu.training.steps import make_representation_train_step
 
         model, params, x, t, z = build(geometry, latent_dim, size, batch)
         encoder = (encoder_for_resolution(size, latent_dim)
@@ -208,26 +207,9 @@ def main():
         state = TrainState.create(
             {"encoder": enc_params, "shift": shift_params}, tx)
 
-        def train_step(state, frozen, x_0, rng):
-            def loss_fn(p):
-                out = gd.representation_learning_train_one_batch(
-                    rng,
-                    lambda xx: encoder.apply({"params": p["encoder"]}, xx),
-                    lambda xx, tt, zz: model.apply(
-                        {"params": merge_params(frozen, p["shift"])},
-                        xx, tt, zz),
-                    x_0)
-                return out["prediction_loss"]
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            new_params = jax.tree_util.tree_map(jnp.add, state.params,
-                                                updates)
-            ema = ema_update(state.ema_params, new_params, 0.9999)
-            return state.replace(step=state.step + 1, params=new_params,
-                                 ema_params=ema, opt_state=opt_state), loss
-
+        # the SHARED step builder (training/steps.py) -- the bench measures
+        # the same program structure the real trainer runs
+        train_step = make_representation_train_step(gd, encoder, model, tx)
         step = jax.jit(train_step, donate_argnums=0)
         key = jax.random.PRNGKey(0)
         x_0 = jax.random.normal(key, x.shape)
@@ -309,7 +291,7 @@ def main():
             "value": r["imgs_per_sec"],
             "unit": "imgs/sec/chip",
             "vs_baseline": (round(r["imgs_per_sec"] / host, 3)
-                            if host else 1.0),
+                            if host else None),
             "quick": True,
             "dtype": args.dtype,
             "device": device,
@@ -353,7 +335,7 @@ def main():
         "value": best64["imgs_per_sec"],
         "unit": "imgs/sec/chip",
         "vs_baseline": (round(best64["imgs_per_sec"] / host_imgs, 3)
-                        if host_imgs else 1.0),
+                        if host_imgs else None),
         "denoise_steps_per_sec_per_chip": best64["denoise_steps_per_sec"],
         "mfu_pct": best64["mfu_pct"],
         "achieved_tflops": best64["achieved_tflops"],

@@ -44,7 +44,10 @@ uint8_t* pdae_jpeg_decode(const uint8_t* data, size_t len, int* out_w,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
-  uint8_t* out = nullptr;
+  // volatile: `out` is written between setjmp and a potential longjmp;
+  // without it the register copy restored by longjmp is indeterminate
+  // (C UB) and the error path would free a stale pointer / leak the buffer
+  uint8_t* volatile out = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);

@@ -84,13 +84,20 @@ const Meta* meta_at(const Env& env, size_t off) {
   return m;
 }
 
+// Every accessor below bounds-checks against the mmap: a truncated or
+// corrupt data.mdb (partial copy of a published LMDB) must surface as a
+// catchable -2 "corruption" result like the pure-python Reader's
+// exception, never as a SIGSEGV in a loader worker.
+
 inline const PageHeader* page(const Env& env, uint64_t pgno) {
-  size_t off = pgno * env.psize;
-  if (off + kPageHdr > env.size) return nullptr;
+  if (env.psize == 0 || pgno > env.size / env.psize) return nullptr;
+  size_t off = size_t(pgno) * env.psize;
+  if (off + env.psize > env.size) return nullptr;   // whole page mapped
   return reinterpret_cast<const PageHeader*>(env.map + off);
 }
 
-inline uint32_t num_keys(const PageHeader* p) {
+inline uint32_t num_keys(const Env& env, const PageHeader* p) {
+  if (p->lower < kPageHdr || p->lower > env.psize) return 0;
   return (p->lower - kPageHdr) >> 1;
 }
 
@@ -98,7 +105,12 @@ inline const Node* node_at(const Env& env, const PageHeader* p, uint32_t i) {
   const uint8_t* base = reinterpret_cast<const uint8_t*>(p);
   const uint16_t* ptrs =
       reinterpret_cast<const uint16_t*>(base + kPageHdr);
-  return reinterpret_cast<const Node*>(base + ptrs[i]);
+  uint16_t off = ptrs[i];
+  // node header + key must lie inside this page
+  if (off < kPageHdr || size_t(off) + kNodeHdr > env.psize) return nullptr;
+  const Node* n = reinterpret_cast<const Node*>(base + off);
+  if (size_t(off) + kNodeHdr + n->ksize > env.psize) return nullptr;
+  return n;
 }
 
 inline const uint8_t* node_key(const Node* n) {
@@ -142,6 +154,13 @@ void* pdae_lmdb_open(const char* path) {
     return nullptr;
   }
   env->psize = m0->dbs[0].pad;
+  if (env->psize < 512 || env->psize > (1u << 16) ||
+      (env->psize & (env->psize - 1)) != 0) {
+    munmap(const_cast<uint8_t*>(env->map), env->size);
+    close(env->fd);
+    delete env;
+    return nullptr;
+  }
   const Meta* m1 = meta_at(*env, env->psize);
   const Meta* live = (m1 && m1->txnid > m0->txnid) ? m1 : m0;
   env->root = live->dbs[1].root;
@@ -160,14 +179,18 @@ int pdae_lmdb_get(void* handle, const uint8_t* key, size_t klen,
   const Env& env = *static_cast<Env*>(handle);
   if (env.root == kInvalidPage) return -1;
   const PageHeader* p = page(env, env.root);
-  while (p) {
-    uint32_t n = num_keys(p);
+  // depth bound: real LMDB trees are <10 levels; a cyclic/corrupt page
+  // graph must terminate instead of looping forever
+  for (int depth = 0; p && depth < 64; ++depth) {
+    uint32_t n = num_keys(env, p);
     if (p->flags & kBranch) {
+      if (n == 0) return -2;
       // first branch key is implicit-empty; rightmost node with key <= k
-      uint32_t lo = 1, hi = n ? n - 1 : 0, pos = 0;
+      uint32_t lo = 1, hi = n - 1, pos = 0;
       while (n > 1 && lo <= hi) {
         uint32_t mid = (lo + hi) / 2;
         const Node* nd = node_at(env, p, mid);
+        if (!nd) return -2;
         if (key_cmp(node_key(nd), nd->ksize, key, klen) <= 0) {
           pos = mid;
           lo = mid + 1;
@@ -176,23 +199,35 @@ int pdae_lmdb_get(void* handle, const uint8_t* key, size_t klen,
           hi = mid - 1;
         }
       }
-      p = page(env, branch_child(node_at(env, p, pos)));
+      const Node* child = node_at(env, p, pos);
+      if (!child) return -2;
+      p = page(env, branch_child(child));
     } else if (p->flags & kLeaf) {
       int lo = 0, hi = int(n) - 1;
       while (lo <= hi) {
         int mid = (lo + hi) / 2;
         const Node* nd = node_at(env, p, mid);
+        if (!nd) return -2;
         int c = key_cmp(node_key(nd), nd->ksize, key, klen);
         if (c == 0) {
           size_t dsize = size_t(nd->lo) | (size_t(nd->hi) << 16);
           const uint8_t* data = node_key(nd) + nd->ksize;
           if (nd->flags & kBigData) {
+            if (data + 8 >
+                reinterpret_cast<const uint8_t*>(p) + env.psize)
+              return -2;
             uint64_t ovf;
             memcpy(&ovf, data, 8);
-            const PageHeader* op = page(env, ovf);
-            if (!op) return -2;
-            *val = reinterpret_cast<const uint8_t*>(op) + kPageHdr;
+            // overflow values span CONTIGUOUS pages: the whole value
+            // (not just the first page) must be inside the mapping
+            if (env.psize == 0 || ovf > env.size / env.psize) return -2;
+            size_t start = size_t(ovf) * env.psize + kPageHdr;
+            if (start > env.size || dsize > env.size - start) return -2;
+            *val = env.map + start;
           } else {
+            // inline value must end inside this page
+            size_t off = size_t(data - reinterpret_cast<const uint8_t*>(p));
+            if (off > env.psize || dsize > env.psize - off) return -2;
             *val = data;
           }
           *vlen = dsize;

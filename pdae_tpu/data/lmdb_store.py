@@ -208,11 +208,25 @@ class Reader:
 
 def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
                subdir: bool = True) -> str:
-    """Create a fresh LMDB environment containing ``items``.
+    """Create a fresh LMDB environment containing ``items`` (a dict)."""
+    return write_lmdb_stream(path, iter(sorted(items.items())), psize=psize,
+                             subdir=subdir)
+
+
+def write_lmdb_stream(path: str, sorted_items, psize: int = 4096,
+                      subdir: bool = True) -> str:
+    """Create a fresh LMDB environment from an ITERATOR of sorted
+    ``(key, value)`` pairs, streaming pages to disk.
 
     Bottom-up B+tree build: sorted keys packed into leaf pages (values too
     big for a page go to overflow pages), then branch levels until a single
     root.  Meta 0 carries txnid 1; meta 1 left older.
+
+    Peak memory is one leaf's worth of values plus ~(key + 16 bytes) per
+    LEAF (not per item) for the branch build -- a multi-million-image LSUN
+    pack (scripts/prepare_lmdb.py) no longer needs the whole dataset in
+    RAM.  Keys must arrive in sorted order (raises ValueError otherwise);
+    zero-padded ``%05d``/``%07d`` key formats generate them sorted.
     """
     if subdir:
         os.makedirs(path, exist_ok=True)
@@ -221,35 +235,41 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         file_path = path
 
-    pages: List[bytes] = [b"", b""]  # meta placeholders
-    n_ovf = 0
+    f = open(file_path, "wb")
+    f.write(b"\x00" * (2 * psize))  # meta placeholders, patched at the end
+    next_pg = [2]
+    n_ovf = [0]
+    n_entries = [0]
 
     def page_header(pgno, flags, lower, upper):
         return struct.pack("<QHHHH", pgno, 0, flags, lower, upper)
 
     def alloc(raw: bytes) -> int:
-        pages.append(raw)
-        return len(pages) - 1
+        pgno = next_pg[0]
+        f.write(raw)
+        next_pg[0] += 1
+        return pgno
+
+    def leaf_budget(n_in_chunk):
+        # max node size that still fits: conservative half-page
+        return psize // 2 - PAGE_HDR
 
     def build_leaf(chunk: List[Tuple[bytes, bytes]]) -> int:
-        nonlocal n_ovf
-        ptrs, blobs = [], []
+        ptrs = []
         # nodes are appended from the page end downward
         upper = psize
         for k, v in chunk:
             big = NODE_HDR + len(k) + len(v) > leaf_budget(len(chunk))
             if big:
                 ovf_pages = -(-(len(v) + PAGE_HDR) // psize)
-                data = page_header(len(pages), P_OVERFLOW, 0, 0)
-                # overflow page header uses 'pages' count in lower/upper slot
-                data = struct.pack("<QHHI", len(pages), 0, P_OVERFLOW,
-                                   ovf_pages)
+                first = next_pg[0]
+                # overflow page header uses the page count in lower/upper
+                data = struct.pack("<QHHI", first, 0, P_OVERFLOW, ovf_pages)
                 payload = data + v
                 payload += b"\x00" * (ovf_pages * psize - len(payload))
-                first = len(pages)
                 for i in range(ovf_pages):
                     alloc(payload[i * psize:(i + 1) * psize])
-                n_ovf += ovf_pages
+                n_ovf[0] += ovf_pages
                 node = struct.pack("<HHHH", len(v) & 0xFFFF,
                                    (len(v) >> 16) & 0xFFFF, F_BIGDATA,
                                    len(k)) + k + struct.pack("<Q", first)
@@ -263,18 +283,12 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
         lower = PAGE_HDR + 2 * len(chunk)
         assert lower <= upper, "leaf overflow: chunk too large"
         buf = bytearray(psize)
-        buf[:PAGE_HDR] = page_header(0, P_LEAF, lower, min(u for u, _ in ptrs))
+        buf[:PAGE_HDR] = page_header(next_pg[0], P_LEAF, lower,
+                                     min(u for u, _ in ptrs))
         for i, (off, node) in enumerate(ptrs):
             struct.pack_into("<H", buf, PAGE_HDR + 2 * i, off)
             buf[off:off + len(node)] = node
-        pgno = alloc(bytes(buf))
-        struct.pack_into("<Q", buf, 0, pgno)
-        pages[pgno] = bytes(buf)
-        return pgno
-
-    def leaf_budget(n_in_chunk):
-        # max node size that still fits: conservative half-page
-        return psize // 2 - PAGE_HDR
+        return alloc(bytes(buf))
 
     def build_branch(children: List[Tuple[bytes, int]]) -> int:
         ptrs = []
@@ -291,39 +305,42 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
         lower = PAGE_HDR + 2 * len(children)
         assert lower <= upper, "branch overflow"
         buf = bytearray(psize)
-        buf[:PAGE_HDR] = page_header(0, P_BRANCH, lower,
+        buf[:PAGE_HDR] = page_header(next_pg[0], P_BRANCH, lower,
                                      min(u for u, _ in ptrs))
         for i, (off, node) in enumerate(ptrs):
             struct.pack_into("<H", buf, PAGE_HDR + 2 * i, off)
             buf[off:off + len(node)] = node
-        pgno = alloc(bytes(buf))
-        buf2 = bytearray(pages[pgno])
-        struct.pack_into("<Q", buf2, 0, pgno)
-        pages[pgno] = bytes(buf2)
-        return pgno
+        return alloc(bytes(buf))
 
-    sorted_items = sorted(items.items())
+    # stream items into greedily-filled leaves; only the CURRENT leaf's
+    # items are held in memory
     n_leaf = 0
     n_branch = 0
     depth = 1
-    if sorted_items:
-        # chunk into leaves: greedy fill
-        leaves: List[Tuple[bytes, int]] = []
-        chunk: List[Tuple[bytes, bytes]] = []
-        used = 0
-        for k, v in sorted_items:
-            node_sz = NODE_HDR + len(k) + (
-                8 if NODE_HDR + len(k) + len(v) > leaf_budget(1) else len(v))
-            node_sz += node_sz % 2 + 2  # ptr slot
-            if chunk and PAGE_HDR + used + node_sz > psize:
-                leaves.append((chunk[0][0], build_leaf(chunk)))
-                chunk, used = [], 0
-            chunk.append((k, v))
-            used += node_sz
-        if chunk:
+    leaves: List[Tuple[bytes, int]] = []
+    chunk: List[Tuple[bytes, bytes]] = []
+    used = 0
+    prev_key = None
+    for k, v in sorted_items:
+        if prev_key is not None and k <= prev_key:
+            f.close()
+            raise ValueError(f"write_lmdb_stream requires strictly sorted "
+                             f"keys; got {k!r} after {prev_key!r}")
+        prev_key = k
+        n_entries[0] += 1
+        node_sz = NODE_HDR + len(k) + (
+            8 if NODE_HDR + len(k) + len(v) > leaf_budget(1) else len(v))
+        node_sz += node_sz % 2 + 2  # ptr slot
+        if chunk and PAGE_HDR + used + node_sz > psize:
             leaves.append((chunk[0][0], build_leaf(chunk)))
-        n_leaf = len(leaves)
+            chunk, used = [], 0
+        chunk.append((k, v))
+        used += node_sz
+    if chunk:
+        leaves.append((chunk[0][0], build_leaf(chunk)))
+    n_leaf = len(leaves)
 
+    if leaves:
         level = leaves
         while len(level) > 1:
             depth += 1
@@ -346,24 +363,22 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], psize: int = 4096,
     else:
         root = 0xFFFFFFFFFFFFFFFF
 
-    # meta pages
+    # meta pages (seek back over the placeholders)
     def meta_page(pgno, txnid):
         buf = bytearray(psize)
         buf[:PAGE_HDR] = page_header(pgno, P_META, 0, 0)
-        main_db = (0, 0, depth if sorted_items else 0, n_branch, n_leaf,
-                   n_ovf, len(sorted_items), root)
+        main_db = (0, 0, depth if n_leaf else 0, n_branch, n_leaf,
+                   n_ovf[0], n_entries[0], root)
         free_db = (psize, 0, 0, 0, 0, 0, 0, 0xFFFFFFFFFFFFFFFF)
         struct.pack_into(META_FMT, buf, PAGE_HDR, MAGIC, VERSION, 0,
-                         psize * max(len(pages), 16),
-                         *free_db, *main_db, len(pages) - 1, txnid)
+                         psize * max(next_pg[0], 16),
+                         *free_db, *main_db, next_pg[0] - 1, txnid)
         return bytes(buf)
 
-    pages[0] = meta_page(0, 1)
-    pages[1] = meta_page(1, 0)
-
-    with open(file_path, "wb") as f:
-        for p in pages:
-            f.write(p)
+    f.seek(0)
+    f.write(meta_page(0, 1))
+    f.write(meta_page(1, 0))
+    f.close()
     return file_path
 
 

@@ -1,0 +1,49 @@
+"""Standalone PDAE train-step builder shared by the harness tools.
+
+``bench.py`` (throughput measurement) and ``__graft_entry__.dryrun_multichip``
+(sharding validation) both need the representation-learning optimizer step
+as a self-contained function without a trainer's run-dir/loader machinery.
+Keeping ONE builder here stops the two copies from drifting apart (they
+had already diverged on the EMA decay) and keeps what the bench measures
+structurally identical to what ``training/representation.py`` runs: loss
+over the {encoder, shift} pytree with the frozen trunk merged per call,
+value_and_grad, the configured optax update, and the EMA lerp — one jitted
+program (reference equivalent: trainer/train_representation_learning.py
+72-112's backward/step/accumulate sequence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .partition import merge_params
+from .state import ema_update
+
+
+def make_representation_train_step(gd, encoder, decoder, tx,
+                                   ema_decay: float = 0.9999):
+    """Pure ``(state, frozen, x_0, rng) -> (state, loss)`` step.
+
+    ``state.params`` must be ``{"encoder": ..., "shift": ...}``; ``frozen``
+    is the ShiftUNet trunk (never updated, merged for each forward)."""
+
+    def train_step(state, frozen, x_0, rng):
+        def loss_fn(params):
+            out = gd.representation_learning_train_one_batch(
+                rng,
+                lambda xx: encoder.apply({"params": params["encoder"]}, xx),
+                lambda xx, tt, zz: decoder.apply(
+                    {"params": merge_params(frozen, params["shift"])},
+                    xx, tt, zz),
+                x_0)
+            return out["prediction_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(jnp.add, state.params, updates)
+        ema = ema_update(state.ema_params, params, ema_decay)
+        return state.replace(step=state.step + 1, params=params,
+                             ema_params=ema, opt_state=opt_state), loss
+
+    return train_step

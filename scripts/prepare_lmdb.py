@@ -34,7 +34,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from PIL import Image
-    from pdae_tpu.data import write_lmdb
+    from pdae_tpu.data import write_lmdb_stream
 
     exts = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
     files = sorted(
@@ -45,21 +45,25 @@ def main(argv=None):
     if not files:
         raise SystemExit(f"no images found in {args.image_dir}")
 
-    items = {}
-    for i, path in enumerate(files):
-        img = Image.open(path).convert("RGB")
-        if args.size:
-            w, h = img.size
-            s = args.size / min(w, h)
-            img = img.resize((round(w * s), round(h * s)), Image.LANCZOS)
-        buf = io.BytesIO()
-        img.save(buf, format="JPEG", quality=args.quality)
-        items[(args.key_format % i).encode()] = buf.getvalue()
-        if (i + 1) % 1000 == 0:
-            print(f"{i + 1}/{len(files)}", flush=True)
+    def encoded():
+        """One image at a time -- peak RSS stays ~one image regardless of
+        dataset size (the zero-padded key formats are generated sorted, as
+        the streaming writer requires).  A 3M-image LSUN pack previously
+        needed the whole re-encoded dataset in memory."""
+        for i, path in enumerate(files):
+            img = Image.open(path).convert("RGB")
+            if args.size:
+                w, h = img.size
+                s = args.size / min(w, h)
+                img = img.resize((round(w * s), round(h * s)), Image.LANCZOS)
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", quality=args.quality)
+            yield (args.key_format % i).encode(), buf.getvalue()
+            if (i + 1) % 1000 == 0:
+                print(f"{i + 1}/{len(files)}", flush=True)
 
-    out = write_lmdb(args.out_dir, items)
-    print(f"packed {len(items)} images -> {out}")
+    out = write_lmdb_stream(args.out_dir, encoded())
+    print(f"packed {len(files)} images -> {out}")
 
 
 if __name__ == "__main__":

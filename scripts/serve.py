@@ -130,8 +130,15 @@ def make_handler(service, lock, batcher=None):
                         _array_to_png(im) for im in out]})
                 else:
                     self._reply(404, {"error": "not found"})
-            except Exception as e:  # surface errors as JSON, keep serving
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
+                # malformed request (bad b64/JSON, unknown attribute,
+                # oversized batch, wrong types) -> client error
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # anything else (XLA faults, closed batcher, IO) is a
+                # SERVER fault -- 5xx so monitors/retry policies engage
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

@@ -1,14 +1,5 @@
 #!/usr/bin/env bash
-# Launch manipulation training.  One process per HOST (all local TPU chips
-# are driven through GSPMD -- no per-chip process spawn like torchrun).
-# Multi-host: export JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
-# JAX_PROCESS_ID on each host and run this same script.
-# usage: bash scripts/train_manipulation.sh CONFIG RUN_PATH [RESUME]
-set -e
-cd "$(dirname "$0")/.."
-CONFIG=${1:-configs/celebahq_manipulation.yml}
-RUN=${2:-runs/manipulation}
-RESUME=${3:-}
-ARGS=(--config_path "$CONFIG" --run_path "$RUN")
-[ -n "$RESUME" ] && ARGS+=(--resume "$RESUME")
-exec python scripts/train.py "${ARGS[@]}"
+# Launch manipulation training (mirrors the reference's
+# scripts/dist_train_manipulation.sh surface; body in _train_common.sh).
+# usage: bash scripts/train_manipulation.sh [CONFIG] [RUN_PATH] [RESUME]
+exec bash "$(dirname "$0")/_train_common.sh" "configs/celebahq_manipulation.yml" "runs/manipulation" "$@"

