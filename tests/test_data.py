@@ -442,3 +442,43 @@ def test_write_lmdb_stream_equivalence(tmp_path):
     e = write_lmdb_stream(str(tmp_path / "empty"), iter([]))
     re = Reader(str(tmp_path / "empty"))
     assert len(re) == 0 and re.get(b"x") is None
+
+
+def test_native_reader_fuzz_corruption(tmp_path):
+    """Byte-flip fuzz over the on-disk file: every probe against a
+    corrupted environment must return a value, a miss, or raise LMDBError
+    -- never crash the process (the C++ reader bounds-checks all page,
+    node, and value accesses)."""
+    from pdae_tpu.data.lmdb_store import (LMDBError, NativeReader,
+                                          _native_lib, write_lmdb)
+    if _native_lib() is None:
+        pytest.skip("no C++ toolchain")
+
+    items = {f"k{i:05d}".encode(): b"v" * (6000 if i % 4 == 0 else 120)
+             for i in range(800)}
+    base = str(tmp_path / "base")
+    write_lmdb(base, items)
+    data = bytearray(open(os.path.join(base, "data.mdb"), "rb").read())
+
+    rs = np.random.RandomState(0)
+    probes = [f"k{i:05d}".encode() for i in rs.randint(0, 800, 20)]
+    for trial in range(40):
+        corrupted = bytearray(data)
+        for _ in range(rs.randint(1, 6)):
+            pos = rs.randint(0, len(corrupted))
+            corrupted[pos] = rs.randint(0, 256)
+        d = str(tmp_path / f"fuzz{trial}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.mdb"), "wb") as f:
+            f.write(corrupted)
+        try:
+            nr = NativeReader(d)
+        except LMDBError:
+            continue   # corrupted meta rejected at open: fine
+        for k in probes:
+            try:
+                v = nr.get(k)
+                assert v is None or isinstance(v, bytes)
+            except LMDBError:
+                pass   # catchable corruption: fine
+        nr.close()

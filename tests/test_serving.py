@@ -288,3 +288,45 @@ def test_http_coalescing(stack):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_batcher_thread_hammer(service):
+    """50 concurrent submissions across mixed ops/kwargs/shapes: every
+    caller gets its exact result back (no cross-request mixups from the
+    grouping/slicing), no waiter hangs."""
+    from pdae_tpu.serving import CoalescingBatcher
+
+    b = CoalescingBatcher(service, window_ms=20.0)
+    try:
+        rs = np.random.RandomState(42)
+        jobs = []
+        for i in range(50):
+            n = int(rs.randint(1, 4))
+            imgs = rs.randint(0, 256, (n, 16, 16, 1), np.uint8)
+            op = ("encode", "autoencode")[i % 2]
+            kwargs = ({} if op == "encode"
+                      else {"encode_style": "ddim5", "decode_style": "ddim5"})
+            jobs.append((op, imgs, kwargs))
+        want = [getattr(service, op)(imgs, **kw) for op, imgs, kw in jobs]
+
+        outs = [None] * len(jobs)
+
+        def worker(i):
+            op, imgs, kw = jobs[i]
+            outs[i] = b.submit(op, imgs, **kw)
+
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(len(jobs))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for i, ((op, imgs, kw), got, exp) in enumerate(zip(jobs, outs, want)):
+            assert got.shape == exp.shape, (i, op)
+            if op == "encode":
+                np.testing.assert_allclose(got, exp, atol=1e-4, err_msg=str(i))
+            else:
+                assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1, i
+        assert b.stats()["calls"] < len(jobs)
+    finally:
+        b.close()
