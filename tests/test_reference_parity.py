@@ -622,3 +622,28 @@ def test_representation_grads_respect_freeze(env, data, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(flat_g[path]), wg, rtol=1e-3, atol=2e-5,
             err_msg=f"shift grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_cosine_betas_ddim_trajectory(env, data):
+    """Cosine schedule end-to-end: constants are golden-tested
+    (test_schedules.py), and here the full DDIM re-spacing + sampling loop
+    runs on a cosine-built GaussianDiffusion against the reference
+    (gaussian_diffusion.py:17-27's cosine branch)."""
+    from diffusion.gaussian_diffusion import GaussianDiffusion as RefGD
+
+    cfg = {"timesteps": T, "betas_type": "cosine"}
+    ref = RefGD(cfg, torch.device("cpu"))
+    ours = GaussianDiffusion(cfg)
+    xT_t = torch.from_numpy(data["xT"])
+    with torch.no_grad():
+        want = ref.ddim_sample("ddim10", env["t_unet"], xT_t)
+    got = ours.ddim_sample("ddim10", env["denoise_fn"],
+                           jnp.asarray(to_nhwc(data["xT"])))
+    close(got, want, what="cosine ddim_sample ddim10")
+
+    with torch.no_grad():
+        want_e = ref.ddim_encode("ddim10", env["t_unet"],
+                                 torch.from_numpy(data["x"]))
+    got_e = ours.ddim_encode("ddim10", env["denoise_fn"],
+                             jnp.asarray(to_nhwc(data["x"])))
+    close(got_e, want_e, what="cosine ddim_encode ddim10")

@@ -119,3 +119,52 @@ def test_mlp_skip_net_forward_parity():
     got = jm.apply({"params": params}, jnp.asarray(z.numpy()),
                    jnp.asarray(t.numpy().astype(np.int32)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("new_order", [False, True])
+def test_unet_forward_parity_head_channel(new_order):
+    """head_channel > 0 (ADM-style fixed channels per head, heads =
+    channels // head_channel): the configuration the downloadable
+    pre-trained DPM configs can select (reference model/unet.py:24,84) --
+    no shipped YAML uses it, so it needs its own parity coverage."""
+    from model.unet import UNet as TorchUNet
+    cfg = {**UNET_CFG, "num_heads": 1, "head_channel": 16,
+           "use_new_attention_order": new_order}
+    tm = TorchUNet(**cfg).eval()
+    params = convert_unet_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()})
+
+    jm = UNet(**{**cfg, "channel_multiplier": (1, 2),
+                 "attention_resolutions": (2,)})
+    x = torch.randn(2, 3, 16, 16)
+    t = torch.tensor([3, 777])
+    with torch.no_grad():
+        want = tm(x, t).numpy()
+    got = jm.apply({"params": params}, jnp.asarray(to_nhwc(x.numpy())),
+                   jnp.asarray(t.numpy().astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_unet_forward_parity_class_conditional():
+    """num_class set (MNIST config path): the label embedding is ADDED to
+    the time embedding (reference model/unet.py:57-58,190-192); converted
+    embedding tables must line up."""
+    from model.unet import UNet as TorchUNet
+    cfg = {**UNET_CFG, "num_class": 10}
+    tm = TorchUNet(**cfg).eval()
+    params = convert_unet_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()})
+
+    jm = UNet(**{**cfg, "channel_multiplier": (1, 2),
+                 "attention_resolutions": (2,)})
+    x = torch.randn(2, 3, 16, 16)
+    t = torch.tensor([3, 777])
+    c = torch.tensor([7, 0])
+    with torch.no_grad():
+        want = tm(x, t, c).numpy()
+    got = jm.apply({"params": params}, jnp.asarray(to_nhwc(x.numpy())),
+                   jnp.asarray(t.numpy().astype(np.int32)),
+                   jnp.asarray(c.numpy().astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want),
+                               rtol=2e-4, atol=2e-5)
