@@ -104,14 +104,15 @@ def test_encoder_forward_parity_128px():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
-def test_mlp_skip_net_forward_parity():
+@pytest.mark.parametrize("use_norm", [True, False])
+def test_mlp_skip_net_forward_parity(use_norm):
     from model.mlp_skip_net import MLPSkipNet as TorchMLP
     tm = TorchMLP(input_channel=32, model_channel=64, num_layers=4,
-                  time_emb_channel=16, use_norm=True, dropout=0.0).eval()
+                  time_emb_channel=16, use_norm=use_norm, dropout=0.0).eval()
     params = convert_mlp_skip_net_state_dict(
         {k: v.numpy() for k, v in tm.state_dict().items()})
     jm = MLPSkipNet(input_channel=32, model_channel=64, num_layers=4,
-                    time_emb_channel=16, use_norm=True, dropout=0.0)
+                    time_emb_channel=16, use_norm=use_norm, dropout=0.0)
     z = torch.randn(3, 32)
     t = torch.tensor([0, 400, 999])
     with torch.no_grad():
