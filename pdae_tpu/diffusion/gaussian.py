@@ -396,9 +396,12 @@ class GaussianDiffusion:
         z = encoder(x_0)
         z_norm = self.normalize(z, latents_mean, latents_std)
         w = classifier_weight[class_id][None, :]
-        w = w / jnp.linalg.norm(w, axis=1, keepdims=True)
-        latent_dim = z.shape[-1]
-        z_norm_manipulated = z_norm + scale * math.sqrt(latent_dim) * w
+        # F.normalize semantics: eps floor keeps an all-zero row a zero
+        # edit direction instead of NaN (reference gaussian_diffusion.py:439)
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), 1e-12)
+        # the reference hardcodes sqrt(512) regardless of the latent dim
+        # (gaussian_diffusion.py:440) -- reproduce the quirk verbatim
+        z_norm_manipulated = z_norm + scale * math.sqrt(512) * w
         z_manipulated = self.denormalize(z_norm_manipulated, latents_mean, latents_std)
         return self.representation_learning_ddim_sample(
             ddim_style, None, decoder, None, inferred_x_T, z_manipulated,

@@ -106,9 +106,11 @@ class LPIPSMetric(BaseMetric):
         self._fn = jax.jit(lpips_distance)
 
     def process(self, images: np.ndarray, gts: np.ndarray):
-        """images/gts in [0,1] (reference normalizes to [0,1] then lpips
-        internally expects [-1,1]: autoencoding_eval.py:84-88 passes
-        normalize=True)."""
+        """images/gts in [0,1]; rescaled to [-1,1] here.  Numerically
+        identical to the reference path, which feeds the RAW [-1,1]
+        tensors straight to lpips.LPIPS(net='alex') with its default
+        normalize=False (autoencoding_eval.py:88,
+        metric/lpips/lpips_metric.py:12-15)."""
         a = jnp.asarray(images) * 2.0 - 1.0
         b = jnp.asarray(gts) * 2.0 - 1.0
         vals = np.asarray(self._fn(self.params, a, b))

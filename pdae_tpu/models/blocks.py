@@ -247,18 +247,15 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int,
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
 
     from ..ops import fused_qkv_attention, use_pallas
+    from ..ops.attention import reference_attention
+    q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))  # -> [B,H,T,D]
     if use_pallas():
-        out = fused_qkv_attention(q.transpose(0, 2, 1, 3),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3))
-        return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * ch)
-
-    scale = 1.0 / math.sqrt(math.sqrt(ch))
-    logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale,
-                        preferred_element_type=jnp.float32)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhts,bshc->bthc", weights, v)
-    return out.reshape(b, t, num_heads * ch)
+        out = fused_qkv_attention(q, k, v)
+    else:
+        # ONE copy of the numerically sensitive math (scale on both q and
+        # k, fp32 softmax) -- shared with the Pallas kernel's reference
+        out = reference_attention(q, k, v, 1.0 / math.sqrt(math.sqrt(ch)))
+    return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * ch)
 
 
 class AttentionBlock(nn.Module):

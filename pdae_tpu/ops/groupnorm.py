@@ -158,6 +158,11 @@ def fused_gn_adagn_silu(x, gn_scale, gn_bias, scale, shift, z_scale=None,
     ``scale/shift/z_*``: [B, C]; pass z_* = None for the plain ResBlock.
     """
     b, c = x.shape[0], x.shape[-1]
+    if (z_scale is None) != (z_shift is None):
+        raise ValueError("z_scale and z_shift must be both set (double "
+                         "AdaGN) or both None (plain ResBlock); got "
+                         f"z_scale={'set' if z_scale is not None else None}, "
+                         f"z_shift={'set' if z_shift is not None else None}")
     if z_scale is None:
         z_scale = jnp.zeros((b, c), x.dtype)
         z_shift = jnp.zeros((b, c), x.dtype)

@@ -83,6 +83,19 @@ def env():
     t_mlp = TorchMLP(input_channel=LATENT_DIM, model_channel=64, num_layers=4,
                      time_emb_channel=16, use_norm=True, dropout=0.0).eval()
 
+    # CRITICAL: perturb the zero-initialized output convs (zero_module) on
+    # the torch side before conversion.  A fresh UNet/ShiftUNet outputs
+    # EXACTLY zero (verified), which would make every trajectory test blind
+    # to the shift coefficients, stop_percent gating, and z-conditioning --
+    # the very conventions this file exists to check.  With the
+    # perturbation the models produce real (random) predictions on both
+    # sides and any coefficient/sign/index error changes the trajectories.
+    with torch.no_grad():
+        for m in (t_unet, t_dec, t_mlp):
+            for p_ in m.parameters():
+                if float(p_.abs().max()) == 0.0:
+                    p_.normal_(0.0, 0.05)
+
     jcfg = {**UNET_CFG, "channel_multiplier": (1, 2),
             "attention_resolutions": (2,)}
     j_unet = UNet(**jcfg)
@@ -536,22 +549,47 @@ def test_full_train_step_parity(env, data, monkeypatch):
     p1 = jax.tree_util.tree_map(jnp.add, p0, upd)
     ema1 = ema_update(jax.tree_util.tree_map(jnp.copy, p0), p1, decay)
 
+    # Post-optimizer comparison uses DELTA direction + magnitude, not
+    # absolute values: adam normalizes by sqrt(v̂)+eps, so for elements
+    # with |grad| near the grad-parity tolerance the UPDATE can legally
+    # flip by up to ±lr from sub-tolerance numeric noise.  Cosine
+    # similarity + norm ratio of (p1 - p0) per leaf still catches every
+    # structural failure (a converter transposition, wrong betas/eps/bias
+    # correction, an EMA formula drift) while ignoring per-element
+    # sign-flip noise on tiny gradients.
+    flat_wg = dict(jax.tree_util.tree_leaves_with_path(want_grads))
+
+    def delta_check(ours_tree, want_tree, what):
+        flat_ours = dict(jax.tree_util.tree_leaves_with_path(ours_tree))
+        flat_p0 = dict(jax.tree_util.tree_leaves_with_path(p0))
+        checked = 0
+        for path, want in jax.tree_util.tree_leaves_with_path(want_tree):
+            if float(np.max(np.abs(flat_wg[path]))) < 1e-6:
+                # mathematically-zero gradient (e.g. a conv bias whose
+                # output feeds a GroupNorm): each side's adam update is
+                # lr*sign(float noise) -- no direction to compare
+                continue
+            da = (np.asarray(flat_ours[path]) -
+                  np.asarray(flat_p0[path])).ravel().astype(np.float64)
+            db = (np.asarray(want) -
+                  np.asarray(flat_p0[path])).ravel().astype(np.float64)
+            na, nb = np.linalg.norm(da), np.linalg.norm(db)
+            if nb < 1e-12:
+                assert na < 1e-12, (what, jax.tree_util.keystr(path))
+                continue
+            cos = float(da @ db / (na * nb))
+            assert cos > 0.98, (what, jax.tree_util.keystr(path), cos)
+            assert 0.9 < na / nb < 1.1, (what, jax.tree_util.keystr(path),
+                                         na / nb)
+            checked += 1
+        assert checked > 50, (what, checked)   # the check must have teeth
+
     want_p1 = convert_unet_state_dict(
         {k: v.numpy() for k, v in t_unet.state_dict().items()})
     want_ema1 = convert_unet_state_dict(
         {k: v.numpy() for k, v in t_ema.state_dict().items()})
-    flat_p1 = dict(jax.tree_util.tree_leaves_with_path(p1))
-    for path, wp in jax.tree_util.tree_leaves_with_path(want_p1):
-        np.testing.assert_allclose(
-            np.asarray(flat_p1[path]), wp, rtol=2e-3, atol=1e-4,
-            err_msg=f"post-adam param mismatch at "
-                    f"{jax.tree_util.keystr(path)}")
-    flat_e1 = dict(jax.tree_util.tree_leaves_with_path(ema1))
-    for path, we in jax.tree_util.tree_leaves_with_path(want_ema1):
-        np.testing.assert_allclose(
-            np.asarray(flat_e1[path]), we, rtol=2e-3, atol=1e-4,
-            err_msg=f"post-EMA param mismatch at "
-                    f"{jax.tree_util.keystr(path)}")
+    delta_check(p1, want_p1, "post-adam")
+    delta_check(ema1, want_ema1, "post-EMA")
 
 
 def test_representation_grads_respect_freeze(env, data, monkeypatch):
