@@ -50,6 +50,28 @@ def activation_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]
     return mu, sigma
 
 
+def chunked_features(feature_fn, images: np.ndarray,
+                     chunk: int = 64) -> np.ndarray:
+    """Run a feature extractor over fixed-size chunks (last chunk padded
+    by repetition, padding rows dropped).  FID sample counts are in the
+    thousands: one giant InceptionV3 batch would OOM on activations, and
+    per-call batch sizes would each pay a fresh 30-60s tunnel compile;
+    this keeps exactly ONE compiled shape."""
+    n = len(images)
+    if n == 0:
+        raise ValueError("no images for feature extraction")
+    if n <= chunk:
+        pad = chunk - n
+        if pad:
+            images = np.concatenate(
+                [images, np.repeat(images[:1], pad, axis=0)], axis=0)
+        return np.asarray(feature_fn(images))[:n]
+    out = []
+    for i in range(0, n, chunk):
+        out.append(chunked_features(feature_fn, images[i:i + chunk], chunk))
+    return np.concatenate(out, axis=0)
+
+
 class FIDMetric(BaseMetric):
     """Accumulate features of generated images; compare against target
     statistics (a ``.npz`` with mu/sigma, or computed from a reference
@@ -70,14 +92,15 @@ class FIDMetric(BaseMetric):
         return cls(feature_fn, data["mu"], data["sigma"])
 
     def process(self, images_uint8: np.ndarray):
-        self.features.append(np.asarray(self.feature_fn(images_uint8)))
+        self.features.append(chunked_features(self.feature_fn, images_uint8))
 
     def all_gather_results(self):
         from ..parallel import gather_objects
         self.features = gather_objects(self.features)
 
     def set_target_from_images(self, images_uint8: np.ndarray):
-        mu, sigma = activation_statistics(self.feature_fn(images_uint8))
+        mu, sigma = activation_statistics(
+            chunked_features(self.feature_fn, images_uint8))
         self.target_mu, self.target_sigma = mu, sigma
 
     def compute_metrics(self) -> float:

@@ -49,15 +49,20 @@ class SamplerContext:
         self.config = config
         diff_cfg = config.get("diffusion_config")
         self._pdae_cfg = None
+        self._run_cfg = None
         if "config_path" in config:
             try:
                 cfg = _load_cfg(config["config_path"])
+                self._run_cfg = cfg
                 if "encoder_config" in cfg:
                     self._pdae_cfg = cfg
             except Exception:
                 self._pdae_cfg = None
-        if diff_cfg is None and self._pdae_cfg is not None:
-            diff_cfg = self._pdae_cfg.get("diffusion_config")
+        if diff_cfg is None and self._run_cfg is not None:
+            # inherit the RUN's schedule whatever the config kind -- a
+            # plain-DPM run config (test_dpms on a cosine model) must not
+            # silently fall back to the linear default
+            diff_cfg = self._run_cfg.get("diffusion_config")
         self.gd = GaussianDiffusion(diff_cfg or {"timesteps": 1000,
                                                  "betas_type": "linear"})
         self._built_pdae = False

@@ -173,7 +173,9 @@ class AutoencodingEval(BaseSampler):
             if lpips_m is not None:
                 lpips_m.process(a, b)
 
-        for m in filter(None, [ssim_m, mse_m, lpips_m]):
+        # `is not None`, not truthiness: BaseMetric defines __len__, so a
+        # zero-result metric would be silently dropped from the gather
+        for m in [m for m in (ssim_m, mse_m, lpips_m) if m is not None]:
             m.all_gather_results()
         results = {"ssim": ssim_m.compute_metrics(),
                    "mse": mse_m.compute_metrics()}
@@ -376,9 +378,16 @@ class Manipulation(BaseSampler):
         gd = ctx.gd
         mean, std = ctx.latent_stats()
         weight = ctx.classifier_weight()
-        attribute = self.config.get("attribute", "Smiling")
-        class_id = CELEBAHQ.LABEL_TO_ID.get(
-            attribute, int(self.config.get("class_id", 31)))
+        # precedence: explicit attribute name > explicit class_id >
+        # the reference's default (Smiling=31, sampler/manipulation.py)
+        if "attribute" in self.config:
+            attribute = self.config["attribute"]
+            if attribute not in CELEBAHQ.LABEL_TO_ID:
+                raise ValueError(f"unknown attribute {attribute!r}; one of "
+                                 f"{sorted(CELEBAHQ.LABEL_TO_ID)}")
+            class_id = CELEBAHQ.LABEL_TO_ID[attribute]
+        else:
+            class_id = int(self.config.get("class_id", 31))
         scale_list = list(self.config.get("scale_list",
                                           [-0.3, -0.1, 0.1, 0.3]))
         enc_style = self.config.get("encode_ddim_style", "ddim500")
@@ -471,8 +480,9 @@ class UnconditionalSample(BaseSampler):
                 ds = ctx.dataset()
                 collate = type(ds).collate_fn
                 ref_n = min(int(fid_cfg.get("num_reference", 1000)), len(ds))
+                from ..metrics.fid import chunked_features
                 my_ref = process_shard_indices(ref_n, pad_to_even=False)
-                ref_local = (feature_fn(collate(
+                ref_local = (chunked_features(feature_fn, collate(
                     [ds[int(i)] for i in my_ref])["gts"])
                     if len(my_ref) else None)
                 parts = [f for f in gather_objects([ref_local])

@@ -59,8 +59,16 @@ class RegularDiffusionTrainer(BaseTrainer):
         def apply_fn(params, x, t, cond):
             return model.apply({"params": params}, x, t, cond)
 
+        def train_apply(params, x, t, cond, drop_key):
+            return model.apply({"params": params}, x, t, cond,
+                               deterministic=False,
+                               rngs={"dropout": drop_key})
+
         if self.runner_config.get("remat"):
-            apply_fn = jax.checkpoint(apply_fn)
+            # checkpoint the TRAINING forward (the path with a backward
+            # pass): ~33% extra fwd FLOPs for activation memory.  The eval
+            # sampler has no backward, so checkpointing it would be a no-op
+            train_apply = jax.checkpoint(train_apply)
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, batch):
@@ -70,9 +78,8 @@ class RegularDiffusionTrainer(BaseTrainer):
                 key, drop_key = jax.random.split(key)
                 out = gd.regular_train_one_batch(
                     key,
-                    lambda xx, tt, cc: model.apply(
-                        {"params": params}, xx, tt, cc, deterministic=False,
-                        rngs={"dropout": drop_key}),
+                    lambda xx, tt, cc: train_apply(params, xx, tt, cc,
+                                                   drop_key),
                     x_0, cond)
                 return out["prediction_loss"]
 
@@ -91,12 +98,12 @@ class RegularDiffusionTrainer(BaseTrainer):
 
         self._train_step = train_step
 
-        @partial(jax.jit, static_argnums=(2,))
-        def sample_fn(ema_params, x_T, ddim_style):
+        @partial(jax.jit, static_argnums=(3,))
+        def sample_fn(ema_params, x_T, cond, ddim_style):
             return gd.regular_ddim_sample(
                 ddim_style,
                 lambda xx, tt, cc: apply_fn(ema_params, xx, tt, cc), x_T,
-                None)
+                cond)
 
         self._sample_fn = sample_fn
 
@@ -110,10 +117,18 @@ class RegularDiffusionTrainer(BaseTrainer):
         # full x_T generated identically everywhere, each process decodes
         # its slice, primary gathers -- output is process-count-invariant
         x_T = jax.random.normal(key, (n,) + self.sample_shape)
+        # class-conditional models sample the classes cyclically (the
+        # reference's eval passes NO condition and would trip the UNet's
+        # condition assert if mnist_regular's num_class were uncommented --
+        # train_regular_diffusion.py:150-153 / model/unet.py:190-191)
+        cond = (jnp.arange(n, dtype=jnp.int32) % self.model.num_class
+                if self.model.num_class is not None else None)
         local, offset = self._eval_shard(n)
         ema = self._eval_local(self.state.ema_params)
         imgs = (np.asarray(self._sample_fn(
-                    ema, x_T[offset:offset + local], ddim_style))
+                    ema, x_T[offset:offset + local],
+                    None if cond is None else cond[offset:offset + local],
+                    ddim_style))
                 if local else np.zeros((0,) + self.sample_shape, np.float32))
         all_imgs = self._gather_eval_images(imgs)
         if all_imgs is None:

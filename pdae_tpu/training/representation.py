@@ -92,10 +92,21 @@ class RepresentationLearningTrainer(BaseTrainer):
             full = merge_params(frozen, shift_p)
             return decoder.apply({"params": full}, x_t, t, z)
 
+        def dec_train_apply(frozen, shift_p, xx, tt, zz, drop_key):
+            # frozen trunk stays in eval mode; only the shift branch
+            # trains with dropout (reference set_train_mode/freeze)
+            full = merge_params(frozen, shift_p)
+            return decoder.apply({"params": full}, xx, tt, zz,
+                                 deterministic=True,
+                                 shift_deterministic=False,
+                                 rngs={"dropout": drop_key})
+
         # rematerialization: trade ~33% extra fwd FLOPs for activation
-        # memory (128px models at large batch); runner_config.remat
+        # memory (128px models at large batch); runner_config.remat.
+        # Applied to the TRAINING forward (the one with a backward pass) --
+        # the eval sampler's dec_apply has no gradients to rematerialize
         if self.runner_config.get("remat"):
-            dec_apply = jax.checkpoint(dec_apply)
+            dec_train_apply = jax.checkpoint(dec_train_apply)
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, frozen, batch):
@@ -103,17 +114,11 @@ class RepresentationLearningTrainer(BaseTrainer):
 
             def loss_fn(params, x_0, _cond, key):
                 key, drop_key = jax.random.split(key)
-                def dec_train(xx, tt, zz):
-                    # frozen trunk stays in eval mode; only the shift branch
-                    # trains with dropout (reference set_train_mode/freeze)
-                    full = merge_params(frozen, params["shift"])
-                    return decoder.apply({"params": full}, xx, tt, zz,
-                                         deterministic=True,
-                                         shift_deterministic=False,
-                                         rngs={"dropout": drop_key})
                 out = gd.representation_learning_train_one_batch(
                     key, lambda xx: enc_apply(params["encoder"], xx),
-                    dec_train, x_0)
+                    lambda xx, tt, zz: dec_train_apply(
+                        frozen, params["shift"], xx, tt, zz, drop_key),
+                    x_0)
                 return out["prediction_loss"]
 
             loss, grads = accumulate_grads(

@@ -217,17 +217,26 @@ def test_interpolation(stack, tmp_path):
 
 
 def test_manipulation(stack, tmp_path):
+    # an explicit class_id is honored directly (attribute names are the
+    # alternative selector; an unknown name raises instead of silently
+    # editing the default class)
     cfg = _pdae_sampler_config(
         stack,
         image_index=0,
         inferred_latents_path=stack["latents"],
         classifier_checkpoint_path=stack["manip_ckpt"],
-        num_classes=5, class_id=2, attribute="NOT_AN_ATTR",
+        num_classes=5, class_id=2,
         scale_list=[-0.3, 0.3],
         encode_ddim_style="ddim5", decode_ddim_style="ddim5",
         output_path=str(tmp_path / "manip.png"))
     out = SAMPLERS["manipulation"](cfg).start()
     assert os.path.exists(out)
+
+    import pytest as _pytest
+    bad = dict(cfg)
+    bad["attribute"] = "NOT_AN_ATTR"
+    with _pytest.raises(ValueError, match="unknown attribute"):
+        SAMPLERS["manipulation"](bad).start()
 
 
 def test_unconditional_sample_with_fid(stack, tmp_path):

@@ -103,6 +103,12 @@ def test_conditional_training(tmp_path):
     tr = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "run"))
     tr.train(max_steps=2)
     assert int(tr.state.step) == 2
+    # eval must SAMPLE WITH CONDITIONS (classes cycled): the conditional
+    # UNet asserts condition is not None, so an unconditioned eval (the
+    # reference's behavior, train_regular_diffusion.py:150-153) would crash
+    tr.evaluate(2, ddim_style="ddim2")
+    assert os.path.exists(os.path.join(str(tmp_path / "run"), "samples",
+                                       "step-2.png"))
 
 
 def test_ema_every_gating():
@@ -179,3 +185,35 @@ def test_unknown_optimizer_name_rejected():
 
     with pytest.raises(ValueError, match="optimizer_config.name"):
         make_optimizer({"lr": 1e-3, "name": "SGD"})
+
+
+def test_remat_recomputes_training_forward(tmp_path):
+    """runner_config.remat must checkpoint the TRAINING forward (it used
+    to wrap only the no-backward eval sampler -- a silent no-op).  Same
+    losses, and the compiled train step contains strictly more
+    convolutions (the rematerialized forward runs again in the backward
+    pass)."""
+    import copy as _copy
+
+    def conv_count(tr):
+        batch = next(tr._batch_iterator(0))
+        txt = tr._train_step.lower(tr.state, batch).compile().as_text()
+        return txt.count("convolution")
+
+    base = _copy.deepcopy(TINY_CONFIG)
+    tr0 = RegularDiffusionTrainer(config=base, run_path=str(tmp_path / "a"))
+    cfg = _copy.deepcopy(TINY_CONFIG)
+    cfg["runner_config"]["remat"] = True
+    tr1 = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "b"))
+
+    c0, c1 = conv_count(tr0), conv_count(tr1)
+    assert c1 > c0, (c0, c1)
+
+    tr0.train(max_steps=2)
+    tr1.train(max_steps=2)
+    import json
+    def losses(run):
+        with open(os.path.join(run, "metrics.jsonl")) as f:
+            return [json.loads(l)["prediction_loss"] for l in f]
+    np.testing.assert_allclose(losses(str(tmp_path / "a")),
+                               losses(str(tmp_path / "b")), rtol=1e-5)
