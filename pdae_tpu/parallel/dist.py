@@ -73,9 +73,14 @@ def process_shard_indices(n: int, rank: Optional[int] = None,
     rank = jax.process_index() if rank is None else rank
     world = jax.process_count() if world is None else world
     idx = np.arange(n)
-    if pad_to_even and n % world != 0:
+    if pad_to_even and n and n % world != 0:
         pad = world - (n % world)
-        idx = np.concatenate([idx, idx[:pad]])
+        # wrap enough copies even when pad > n (e.g. 3 samples over 8
+        # processes) -- torch DistributedSampler pads to
+        # ceil(n/world)*world the same way; equal shard lengths are what
+        # let per-batch collectives run in lockstep
+        reps = -(-pad // n)
+        idx = np.concatenate([idx] + [idx[:n]] * reps)[:n + pad]
     return idx[rank::world]
 
 

@@ -208,5 +208,9 @@ def pad_shard_batch(mesh: Mesh, x, axis_name=None):
     pad = (-n) % world
     if pad:
         reps = -(-pad // n)  # wrap enough copies even when pad > n
-        x = jnp.concatenate([x] + [x[:n]] * reps, axis=0)[:n + pad]
+        # host batches pad on the host (a jnp.concatenate would bounce
+        # them through the default device before the sharded device_put);
+        # device arrays stay on device
+        cat = np.concatenate if isinstance(x, np.ndarray) else jnp.concatenate
+        x = cat([x] + [x] * reps, axis=0)[:n + pad]
     return jax.device_put(x, data_sharding(mesh, axis_name)), n

@@ -1,0 +1,75 @@
+"""Value parity of the 10 shared training configs vs the reference YAMLs.
+
+The reference's configs ARE the experiment definitions (SURVEY.md #27);
+silent drift in a model/optimizer section changes what gets trained and
+breaks checkpoint grafting (this caught bedroom/horse latent configs with
+the wrong num_layers and optimizer).  Paths and file extensions are OUR
+artifact conventions and excluded; every numeric/semantic section must
+match the reference exactly.
+"""
+
+import os
+
+import pytest
+import yaml
+
+REF = "/root/reference/config"
+OURS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+SHARED = [
+    "mnist_regular", "celeba64_representation_learning",
+    "ffhq_representation_learning", "horse_representation_learning",
+    "bedroom_representation_learning", "celeba64_latent", "ffhq_latent",
+    "horse_latent", "bedroom_latent", "celebahq_manipulation",
+]
+
+# sections whose VALUES define the experiment (paths excluded)
+SECTIONS = ["diffusion_config", "denoise_fn_config", "encoder_config",
+            "decoder_config", "latent_denoise_fn_config",
+            "classifier_config", "optimizer_config", "dataloader_config",
+            "runner_config"]
+
+# documented structural differences (keys, not values):
+#   dims: reference's conv_nd dimensionality knob (always 2 for every
+#     shipped config; our models are 2-D only, so the key is omitted)
+#   latent_dim: our dataset configs carry the latent size explicitly
+IGNORED_KEYS = {"dims", "latent_dim"}
+
+
+def _norm(v):
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items() if k not in IGNORED_KEYS}
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, str):
+        s = v.replace(" ", "")
+        try:
+            return float(s)
+        except ValueError:
+            return s
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
+@pytest.mark.parametrize("name", SHARED)
+def test_config_values_match_reference(name):
+    ours = yaml.safe_load(open(os.path.join(OURS, f"{name}.yml")))
+    ref = yaml.safe_load(open(os.path.join(REF, f"{name}.yml")))
+    for section in SECTIONS:
+        if section not in ref:
+            continue
+        assert section in ours, (name, section)
+        assert _norm(ours[section]) == _norm(ref[section]), (name, section)
+    # dataset sections: compare everything except data paths
+    for section in ("train_dataset_config", "eval_dataset_config"):
+        if section not in ref:
+            continue
+        o = {k: v for k, v in (ours.get(section) or {}).items()
+             if "path" not in k}
+        r = {k: v for k, v in (ref.get(section) or {}).items()
+             if "path" not in k}
+        assert _norm(o) == _norm(r), (name, section)

@@ -51,3 +51,22 @@ def test_dispatch_and_shard_consistency():
               for r in range(4)]
     all_idx = np.concatenate(shards)
     assert sorted(all_idx.tolist()) == list(range(total))
+
+
+def test_process_shard_indices_pad_exceeds_n():
+    """pad_to_even must wrap ENOUGH copies when world > 2n (e.g. 3 samples
+    over 8 processes): every rank gets exactly ceil(n/world) indices, like
+    torch's DistributedSampler, so lockstep collectives can't starve."""
+    from pdae_tpu.parallel import process_shard_indices
+
+    for n, world in ((3, 8), (1, 8), (5, 8), (7, 3), (8, 8)):
+        lens = [len(process_shard_indices(n, rank=r, world=world))
+                for r in range(world)]
+        assert len(set(lens)) == 1, (n, world, lens)
+        assert lens[0] == -(-n // world), (n, world, lens)
+        # every real index still covered
+        covered = set()
+        for r in range(world):
+            covered |= set(process_shard_indices(n, rank=r, world=world)
+                           .tolist())
+        assert covered == set(range(n))
