@@ -236,6 +236,23 @@ def write_lmdb_stream(path: str, sorted_items, psize: int = 4096,
         file_path = path
 
     f = open(file_path, "wb")
+    try:
+        _write_stream_pages(f, sorted_items, psize)
+    except BaseException:
+        # don't leave a partially written data.mdb (zeroed meta pages read
+        # as a corrupt database) at the destination -- e.g. prepare_lmdb's
+        # item iterator hitting one bad image millions of entries in
+        f.close()
+        try:
+            os.unlink(file_path)
+        except OSError:
+            pass
+        raise
+    f.close()
+    return file_path
+
+
+def _write_stream_pages(f, sorted_items, psize: int) -> None:
     f.write(b"\x00" * (2 * psize))  # meta placeholders, patched at the end
     next_pg = [2]
     n_ovf = [0]
@@ -323,7 +340,6 @@ def write_lmdb_stream(path: str, sorted_items, psize: int = 4096,
     prev_key = None
     for k, v in sorted_items:
         if prev_key is not None and k <= prev_key:
-            f.close()
             raise ValueError(f"write_lmdb_stream requires strictly sorted "
                              f"keys; got {k!r} after {prev_key!r}")
         prev_key = k
@@ -378,8 +394,6 @@ def write_lmdb_stream(path: str, sorted_items, psize: int = 4096,
     f.seek(0)
     f.write(meta_page(0, 1))
     f.write(meta_page(1, 0))
-    f.close()
-    return file_path
 
 
 # ---------------------------------------------------------------------- #

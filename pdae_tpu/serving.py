@@ -274,7 +274,11 @@ class CoalescingBatcher:
                 raise RuntimeError("batcher closed")
             self._pending.append((sig, images, kwargs, slot))
             self._cv.notify()
-        slot["event"].wait()
+        # bounded waits with a liveness check: if the worker thread is gone
+        # (e.g. a BaseException delivered into it), don't block forever
+        while not slot["event"].wait(timeout=1.0):
+            if not self._worker.is_alive():
+                raise RuntimeError("batcher worker died; request dropped")
         if "err" in slot:
             raise slot["err"]
         return slot["out"]
@@ -318,14 +322,21 @@ class CoalescingBatcher:
                             n += len(entries[i][0])
                             i += 1
                         self._run_chunk(op, chunk)
-            except Exception as e:
-                # catch-all: the worker must never die with waiters blocked
-                # (submit() waits with no timeout) -- deliver the failure to
-                # every slot of this drained batch that hasn't resolved yet
+            except BaseException as e:
+                # catch-all: the worker must never exit with waiters blocked
+                # -- deliver the failure to every slot of this drained batch
+                # that hasn't resolved yet.  BaseException (KeyboardInterrupt
+                # / SystemExit delivered into this thread) still fails the
+                # slots first, then propagates and ends the worker; blocked
+                # submit() calls notice via the liveness check.
+                err = e if isinstance(e, Exception) else RuntimeError(
+                    f"batcher worker interrupted: {e!r}")
                 for _, _, _, slot in batch:
                     if not slot["event"].is_set():
-                        slot["err"] = e
+                        slot["err"] = err
                         slot["event"].set()
+                if not isinstance(e, Exception):
+                    raise
 
     def _run_chunk(self, op, chunk):
         imgs = np.concatenate([e[0] for e in chunk], axis=0)

@@ -465,11 +465,13 @@ class BaseTrainer:
 
         # preemption safety: checkpoint before dying on SIGTERM/SIGINT
         # (the reference's only recovery is manual --resume; SURVEY.md §5).
-        # Multi-process runs stop by CONSENSUS at the next display boundary
-        # (a signal may reach only some hosts; save/eval contain collectives
-        # in fsdp mode, so all processes must exit the loop at the same
-        # step -- the cheap flag all-gather piggybacks on the display sync)
+        # Multi-process runs stop by CONSENSUS at a boundary step (a signal
+        # may reach only some hosts; save/eval contain collectives in fsdp
+        # mode, so all processes must exit the loop at the same step).  The
+        # consensus cadence is min(display, save_latest) so the preemption
+        # grace window never depends on a large display_steps alone.
         multiproc = jax.process_count() > 1
+        consensus_every = min(display, save_latest)
         stop = {"local": False, "flag": False}
 
         def _graceful(signum, frame):
@@ -531,10 +533,10 @@ class BaseTrainer:
                     meters.reset()
                     first_window = False
                     window_steps = 0
-                    if multiproc:
-                        from ..parallel import gather_objects
-                        stop["flag"] = any(gather_objects([stop["local"]]))
                     t_end = time.perf_counter()
+                if multiproc and step % consensus_every == 0:
+                    from ..parallel import gather_objects
+                    stop["flag"] = any(gather_objects([stop["local"]]))
                 if step % save_latest == 0 or step % save_snap == 0:
                     # one save covers both cadences (a snapshot step would
                     # otherwise pay the state_dict gather + write twice)
