@@ -19,6 +19,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel import constrain_batch
 from .blocks import AttentionBlock, conv3x3, group_norm
 
 
@@ -44,7 +45,16 @@ class SemanticEncoder(nn.Module):
                                    dtype=self.dtype, name=f"attn_{i}")(h)
         h = group_norm(self.channels[-1], self.dtype, name="final_norm")(h)
         h = nn.silu(h)
+        # flatten boundary: under a tensor-parallel mesh the conv
+        # activations are channel-sharded, and [B,H,W,C] -> [B,H*W*C]
+        # merges the sharded minor dim into an unshardable one -- GSPMD
+        # then falls back to involuntary full rematerialization in the
+        # transposed backward.  Pin both sides batch-sharded so the
+        # flatten is the explicit channel all-gather point (no-op without
+        # a mesh context; see parallel.constrain_batch).
+        h = constrain_batch(h)
         h = h.reshape(h.shape[0], -1)
+        h = constrain_batch(h)
         z = nn.Dense(self.latent_dim, dtype=self.dtype, name="final_dense")(h)
         return z.astype(jnp.float32)
 

@@ -1,16 +1,20 @@
-from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, MODEL_AXIS, data_sharding,
+from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, MODEL_AXIS, ambient_mesh,
+                   constrain_batch, data_sharding,
                    fsdp_sharding, fsdp_shardings, local_mesh,
                    make_hier_mesh, make_mesh, make_tp_mesh, mesh_data_axes,
                    pad_shard_batch, replicate,
                    replicated, shard_batch, shard_tree_fsdp, shard_tree_tp,
                    tp_sharding, tp_shardings)
+from .spmd_guard import (SpmdDegradationError, capture_stderr_fd,
+                         spmd_degradation_check)
 from .dist import (dispatch_num_samples_for_process, gather_objects,
                    host_copy_tree,
                    init_distributed, is_primary, process_count, process_index,
                    process_shard_indices, sync_global_devices)
 
 __all__ = [
-    "DATA_AXIS", "DCN_AXIS", "ICI_AXIS", "MODEL_AXIS", "data_sharding",
+    "DATA_AXIS", "DCN_AXIS", "ICI_AXIS", "MODEL_AXIS", "ambient_mesh",
+    "constrain_batch", "data_sharding",
     "fsdp_sharding",
     "fsdp_shardings", "local_mesh", "make_hier_mesh", "make_mesh",
     "make_tp_mesh",
@@ -21,4 +25,5 @@ __all__ = [
     "host_copy_tree",
     "init_distributed", "is_primary", "process_count", "process_index",
     "process_shard_indices", "sync_global_devices",
+    "SpmdDegradationError", "capture_stderr_fd", "spmd_degradation_check",
 ]

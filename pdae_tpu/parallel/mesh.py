@@ -191,6 +191,53 @@ def shard_tree_tp(mesh: Mesh, tree, min_size: int = 2 ** 15):
         jax.device_put, tree, tp_shardings(mesh, tree, min_size))
 
 
+def ambient_mesh() -> Optional[Mesh]:
+    """The Mesh made active by an enclosing ``with mesh:`` block (visible
+    during jit TRACING too -- the context is a thread-local, not a traced
+    op), or the ``jax.sharding.use_mesh`` abstract mesh; ``None`` when no
+    mesh context is active.  Lets model code place sharding hints that are
+    exact no-ops in mesh-free use (single-chip tests, reference-parity
+    runs)."""
+    try:  # the legacy pjit resource env (jax.interpreters.pxla re-export
+        # is deprecated; the object itself lives in jax._src.mesh)
+        from jax._src.mesh import thread_resources
+        m = thread_resources.env.physical_mesh
+        if not m.empty:
+            return m
+    except Exception:
+        pass
+    try:
+        from jax.sharding import get_abstract_mesh
+        m = get_abstract_mesh()
+        if not m.empty:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def constrain_batch(x):
+    """``with_sharding_constraint(x, P(data_axes, None, ...))`` under the
+    ambient mesh; identity without one.  Pins an activation to
+    batch-sharded/feature-replicated at layout boundaries the partitioner
+    can't shard through -- e.g. the encoder's conv->flatten->Dense
+    transition, where a channel-sharded [B,H,W,C] flattening into
+    [B,H*W*C] has no representable sharding and GSPMD falls back to
+    involuntary full rematerialization in the backward (the flatten mixes
+    the sharded minor dim into a merged dim).  Constraining both sides
+    makes the flatten the (intended) channel all-gather point, in forward
+    and in the transposed backward alike."""
+    mesh = ambient_mesh()
+    if mesh is None:
+        return x
+    axes = mesh_data_axes(mesh)
+    if not axes:
+        return x
+    spec = P(axes if len(axes) > 1 else axes[0],
+             *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def pad_shard_batch(mesh: Mesh, x, axis_name=None):
     """Lay a host batch out sharded over the mesh's data axis, wrap-padding
     the batch to a device-count multiple.

@@ -139,7 +139,12 @@ class PDAEService:
     def encode(self, images) -> np.ndarray:
         """images -> semantic latents z [N, latent_dim]."""
         x, n = self._pad_bucket_shard(self._to_model_input(images))
-        return np.asarray(self._encode_fn(self.ctx.enc_params, x))[:n]
+        # ops trace under the mesh context so model-side sharding hints
+        # (parallel.constrain_batch at the encoder flatten) see the tp
+        # mesh -- without it the flatten boundary costs an involuntary
+        # full rematerialization in tp mode
+        with self._mesh:
+            return np.asarray(self._encode_fn(self.ctx.enc_params, x))[:n]
 
     def autoencode(self, images, encode_style: Optional[str] = None,
                    decode_style: Optional[str] = None) -> np.ndarray:
@@ -147,8 +152,9 @@ class PDAEService:
         es = encode_style or self.config.get("encoder_ddim_style", "ddim100")
         ds = decode_style or self.config.get("decoder_ddim_style", "ddim100")
         x, n = self._pad_bucket_shard(self._to_model_input(images))
-        out = self._autoencode_fn(self.ctx.enc_params, self.ctx.dec_params,
-                                  x, es, ds)
+        with self._mesh:
+            out = self._autoencode_fn(self.ctx.enc_params,
+                                      self.ctx.dec_params, x, es, ds)
         return to_uint8(np.asarray(out)[:n])
 
     def generate(self, n: int, seed: int = 0,
@@ -184,8 +190,9 @@ class PDAEService:
             xk, (b, self.size, self.size, self.channels))
         x_T, _ = pad_shard_batch(self._mesh, x_T)
         z_T, _ = pad_shard_batch(self._mesh, z_T)
-        out = self._generate_fn(ctx.lat_params, ctx.dec_params, z_T, x_T,
-                                ls, ds)
+        with self._mesh:
+            out = self._generate_fn(ctx.lat_params, ctx.dec_params, z_T, x_T,
+                                    ls, ds)
         return to_uint8(np.asarray(out)[:n])
 
     def manipulate(self, images, attribute=None, class_id: int = 31,
@@ -218,10 +225,11 @@ class PDAEService:
 
                 self._manip_fn = jax.jit(fn, static_argnums=(6, 7))
         x, n = self._pad_bucket_shard(self._to_model_input(images))
-        x_T = self._encode_xt_fn(ctx.enc_params, ctx.dec_params, x, es)
-        out = self._manip_fn(ctx.enc_params, ctx.dec_params,
-                             self._clf_weight, x, x_T,
-                             jnp.float32(scale), int(class_id), ds)
+        with self._mesh:
+            x_T = self._encode_xt_fn(ctx.enc_params, ctx.dec_params, x, es)
+            out = self._manip_fn(ctx.enc_params, ctx.dec_params,
+                                 self._clf_weight, x, x_T,
+                                 jnp.float32(scale), int(class_id), ds)
         return to_uint8(np.asarray(out)[:n])
 
 

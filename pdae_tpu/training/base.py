@@ -493,17 +493,25 @@ class BaseTrainer:
                 t0 = time.perf_counter()
                 batch = next(it)
                 t1 = time.perf_counter()
+                # step calls run under the mesh context: model-side
+                # sharding hints (parallel.constrain_batch at the encoder
+                # flatten) see the ambient mesh at trace time.  Scoped to
+                # the step only -- eval/save do host-local jits that must
+                # NOT trace under the global mesh in multi-process runs.
                 if k > 1:
                     # leading (chunk) dim is static array metadata, no sync
                     c = jax.tree_util.tree_leaves(batch)[0].shape[0]
                     step += c
                     window_steps += c
-                    self.state, metrics = multi_step(self.state, extras,
-                                                     batch)
+                    with self.mesh:
+                        self.state, metrics = multi_step(self.state, extras,
+                                                         batch)
                 else:
                     step += 1
                     window_steps += 1
-                    self.state, metrics = self.train_step(self.state, batch)
+                    with self.mesh:
+                        self.state, metrics = self.train_step(self.state,
+                                                              batch)
                 # keep DEVICE scalars/arrays (no host sync) every step;
                 # block once per display window when converting to floats
                 for name, v in metrics.items():

@@ -185,6 +185,116 @@ def test_tp_validation(tmp_path):
         RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "b"))
 
 
+def test_tp_flagship_encoder_flatten_constraint_and_clean_compile():
+    """Regression for MULTICHIP_r02's involuntary full rematerialization:
+    at the FLAGSHIP encoder geometry (celeba64, latent 512), fwd+bwd under
+    a [data, model] mesh must (a) carry the flatten-boundary sharding
+    constraint in the lowered HLO (``parallel.constrain_batch`` in
+    ``models/encoder.py``) and (b) compile with zero SPMD-degradation
+    warnings (``parallel.spmd_degradation_check`` scans the partitioner's
+    C++ log output, which is the ONLY place XLA reports the fallback)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from pdae_tpu.models import encoder_for_resolution
+    from pdae_tpu.parallel import shard_tree_tp, spmd_degradation_check
+
+    enc = encoder_for_resolution(64, 512)
+    x = jnp.zeros((8, 64, 64, 3))
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x)["params"]
+    mesh = make_tp_mesh(2)   # data 4 x model 2
+    tparams = shard_tree_tp(mesh, params)
+    xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def loss(p, xx):
+        return jnp.mean(enc.apply({"params": p}, xx) ** 2)
+
+    with mesh:
+        lowered = jax.jit(jax.value_and_grad(loss)).lower(tparams, xb)
+    assert "sharding_constraint" in lowered.as_text().lower()
+    with spmd_degradation_check():
+        lowered.compile()
+
+
+def test_spmd_guard_catches_involuntary_remat():
+    """The dryrun/test guard must actually FAIL on the partitioner
+    fallback, not just scroll past it (how the defect shipped inside an
+    ``ok: true`` artifact in round 2).  MULTICHIP_r02's warning came from
+    the FSDP dryrun flavor: the row-sharded encoder Dense kernel
+    propagates a split spatial sharding into the flatten cotangent, which
+    clashes with the batch sharding the conv backward wants -- XLA then
+    fully replicates the tensor as "the last resort".  Rebuild that exact
+    tiny FSDP train step from ``__graft_entry__.dryrun_multichip`` with
+    the encoder's flatten constraint monkeypatched out: the guard must
+    raise; with the constraint active the same program must be clean and
+    loss-identical."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    import __graft_entry__ as g
+    import pdae_tpu.models.encoder as enc_mod
+    from pdae_tpu.diffusion import GaussianDiffusion
+    from pdae_tpu.models import SemanticEncoder, ShiftUNet
+    from pdae_tpu.parallel import (SpmdDegradationError, fsdp_shardings,
+                                   make_mesh, replicated, shard_tree_fsdp,
+                                   spmd_degradation_check)
+    from pdae_tpu.training.partition import split_shift_unet
+    from pdae_tpu.training.state import TrainState, make_optimizer
+    from pdae_tpu.training.steps import make_representation_train_step
+    from pdae_tpu.utils import init_key
+
+    gd = GaussianDiffusion({"timesteps": 20, "betas_type": "linear"})
+    decoder = ShiftUNet(latent_dim=16, **g.TINY_DPM)
+    encoder = SemanticEncoder(16, channels=(8, 16), attn_after_stage=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    enc_params = jax.jit(encoder.init)(init_key(0), x)["params"]
+    dec_params = jax.jit(decoder.init)(
+        init_key(1), x, jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    shift_params, frozen_params = split_shift_unet(dec_params)
+    tx = make_optimizer({"lr": 1e-3})
+    train_step = make_representation_train_step(gd, encoder, decoder, tx)
+
+    mesh = make_mesh()   # flat 8-device data mesh, as in the dryrun
+    repl = replicated(mesh)
+    batch = jax.device_put(
+        jnp.asarray(np.random.RandomState(0).rand(16, 16, 16, 3),
+                    jnp.float32) * 2 - 1,
+        NamedSharding(mesh, P("data")))
+    rng = jax.device_put(jax.random.PRNGKey(0), repl)
+
+    def run():
+        state = TrainState.create(
+            {"encoder": enc_params, "shift": shift_params}, tx)
+        state = shard_tree_fsdp(mesh, state, min_size=2 ** 12)
+        frozen = shard_tree_fsdp(mesh, frozen_params, min_size=2 ** 12)
+        fsh = fsdp_shardings(mesh, state, min_size=2 ** 12)
+        with mesh:
+            with spmd_degradation_check():
+                _, l = jax.jit(train_step, out_shardings=(fsh, repl))(
+                    state, frozen, batch, rng)
+                jax.block_until_ready(l)
+        return float(l)
+
+    # partitioner warnings are emitted only on COLD compiles -- a
+    # persistent-cache hit replays the compiled artifact silently, so the
+    # cache must be off for the guard to be exercised deterministically
+    orig = enc_mod.constrain_batch
+    enc_mod.constrain_batch = lambda h: h
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        with pytest.raises(SpmdDegradationError,
+                           match="Involuntary full rematerialization"):
+            run()
+        # with the constraint: clean compile of the same program
+        enc_mod.constrain_batch = orig
+        loss_fixed = run()
+    finally:
+        enc_mod.constrain_batch = orig
+        jax.config.update("jax_enable_compilation_cache", True)
+    assert np.isfinite(loss_fixed)
+
+
 def test_tp_chunked_dispatch(tmp_path):
     """steps_per_dispatch composes with tensor parallelism (the [K, B]
     stacked batches shard dim 1 over the data axis only)."""
