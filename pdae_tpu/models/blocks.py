@@ -26,12 +26,53 @@ from flax import linen as nn
 # GroupNorm(32) with torch eps for numeric parity (module.py:56-63).
 # For real configs channels are multiples of 32; smaller channel counts
 # (tiny test models) fall back to the largest divisor <= 32.
-def group_norm(channels: int, dtype=jnp.float32, name=None):
+def num_groups(channels: int) -> int:
     groups = min(32, channels)
     while channels % groups != 0:
         groups -= 1
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype,
-                        name=name)
+    return groups
+
+
+def group_norm(channels: int, dtype=jnp.float32, name=None):
+    return nn.GroupNorm(num_groups=num_groups(channels), epsilon=1e-5,
+                        dtype=dtype, name=name)
+
+
+class GNSiluChain(nn.Module):
+    """GroupNorm(+AdaGN)+SiLU ResBlock epilogue with a controlled
+    backward.  Param-compatible with ``nn.GroupNorm`` (same ``scale``/
+    ``bias`` leaves under the same name), so checkpoints and the torch
+    converter mapping are unchanged.  When ``ops.use_gn_train_vjp()`` is
+    on (auto: TPU) the chain runs through the stat-caching closed-form
+    VJP (``ops/groupnorm_train.py``) -- identical forward ops, backward
+    never re-reduces the group statistics; otherwise the inline
+    composition with generic autodiff.
+
+    ``scale``/``shift``/``z_scale``/``z_shift``: optional [B, C] AdaGN
+    coefficients (reference module.py:287-295 single, :377-381 double)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale=None, shift=None, z_scale=None,
+                 z_shift=None):
+        gs = self.param("scale", nn.initializers.ones, (self.channels,),
+                        jnp.float32)
+        gb = self.param("bias", nn.initializers.zeros, (self.channels,),
+                        jnp.float32)
+        from ..ops import (gn_adagn_silu_inline, gn_adagn_silu_train,
+                           use_gn_train_vjp)
+        b, c = x.shape[0], x.shape[-1]
+        zeros = jnp.zeros((b, c), x.dtype)
+        args = (x, gs, gb,
+                zeros if scale is None else scale,
+                zeros if shift is None else shift,
+                zeros if z_scale is None else z_scale,
+                zeros if z_shift is None else z_shift,
+                num_groups(self.channels))
+        if use_gn_train_vjp():
+            return gn_adagn_silu_train(*args)
+        return gn_adagn_silu_inline(*args)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -144,8 +185,7 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
 
-        h = group_norm(self.channels, self.dtype, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GNSiluChain(self.channels, self.dtype, name="in_norm")(x)
         if self.up:
             h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
@@ -156,11 +196,10 @@ class ResBlock(nn.Module):
 
         emb_out = nn.Dense(2 * out_ch, dtype=self.dtype,
                            name="emb_dense")(nn.silu(emb))
-        emb_out = emb_out[:, None, None, :]
         scale, shift = jnp.split(emb_out, 2, axis=-1)
 
-        h = group_norm(out_ch, self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
-        h = nn.silu(h)
+        h = GNSiluChain(out_ch, self.dtype, name="out_norm")(h, scale,
+                                                             shift)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, dtype=self.dtype, name="out_conv",
                     kernel_init=zeros_init)(h)
@@ -194,8 +233,7 @@ class ResBlockShift(nn.Module):
     def __call__(self, x, emb, emb_z, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
 
-        h = group_norm(self.channels, self.dtype, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GNSiluChain(self.channels, self.dtype, name="in_norm")(x)
         if self.up:
             h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
@@ -205,15 +243,14 @@ class ResBlockShift(nn.Module):
         h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(2 * out_ch, dtype=self.dtype,
-                           name="emb_dense")(nn.silu(emb))[:, None, None, :]
+                           name="emb_dense")(nn.silu(emb))
         emb_z_out = nn.Dense(2 * out_ch, dtype=self.dtype,
-                             name="emb_z_dense")(nn.silu(emb_z))[:, None, None, :]
+                             name="emb_z_dense")(nn.silu(emb_z))
         scale, shift = jnp.split(emb_out, 2, axis=-1)
         z_scale, z_shift = jnp.split(emb_z_out, 2, axis=-1)
 
-        h = group_norm(out_ch, self.dtype, name="out_norm")(h) * (1.0 + scale) + shift
-        h = (1.0 + z_scale) * h + z_shift
-        h = nn.silu(h)
+        h = GNSiluChain(out_ch, self.dtype, name="out_norm")(
+            h, scale, shift, z_scale, z_shift)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, dtype=self.dtype, name="out_conv",
                     kernel_init=zeros_init)(h)

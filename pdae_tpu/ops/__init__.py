@@ -6,6 +6,7 @@ kernel (models/blocks.py checks this flag); default on for TPU backends.
 
 from .attention import fused_qkv_attention, reference_attention
 from .groupnorm import fused_gn_adagn_silu, reference_gn_adagn_silu
+from .groupnorm_train import gn_adagn_silu_inline, gn_adagn_silu_train
 
 _USE_PALLAS = None  # tri-state: None = auto (TPU only)
 
@@ -22,6 +23,26 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_GN_TRAIN_VJP = None  # tri-state: None = auto (TPU only)
+
+
+def set_gn_train_vjp(value):
+    """Route the ResBlock GN(+AdaGN)+SiLU chains through the stat-caching
+    closed-form VJP (ops/groupnorm_train.py).  Forward ops are identical;
+    only the backward graph changes.  None = auto (on for TPU)."""
+    global _GN_TRAIN_VJP
+    _GN_TRAIN_VJP = value
+
+
+def use_gn_train_vjp() -> bool:
+    if _GN_TRAIN_VJP is not None:
+        return _GN_TRAIN_VJP
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 __all__ = ["fused_qkv_attention", "reference_attention",
            "fused_gn_adagn_silu", "reference_gn_adagn_silu",
-           "set_use_pallas", "use_pallas"]
+           "gn_adagn_silu_inline", "gn_adagn_silu_train",
+           "set_use_pallas", "use_pallas",
+           "set_gn_train_vjp", "use_gn_train_vjp"]

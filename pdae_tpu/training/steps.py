@@ -22,20 +22,29 @@ from .state import ema_update
 
 
 def make_representation_train_step(gd, encoder, decoder, tx,
-                                   ema_decay: float = 0.9999):
+                                   ema_decay: float = 0.9999,
+                                   remat: bool = False):
     """Pure ``(state, frozen, x_0, rng) -> (state, loss)`` step.
 
     ``state.params`` must be ``{"encoder": ..., "shift": ...}``; ``frozen``
-    is the ShiftUNet trunk (never updated, merged for each forward)."""
+    is the ShiftUNet trunk (never updated, merged for each forward).
+    ``remat=True`` checkpoints the decoder forward (the 128px training
+    configuration, training/representation.py:104-109)."""
+
+    def dec_apply(frozen, shift, xx, tt, zz):
+        return decoder.apply({"params": merge_params(frozen, shift)},
+                             xx, tt, zz)
+
+    if remat:
+        dec_apply = jax.checkpoint(dec_apply)
 
     def train_step(state, frozen, x_0, rng):
         def loss_fn(params):
             out = gd.representation_learning_train_one_batch(
                 rng,
                 lambda xx: encoder.apply({"params": params["encoder"]}, xx),
-                lambda xx, tt, zz: decoder.apply(
-                    {"params": merge_params(frozen, params["shift"])},
-                    xx, tt, zz),
+                lambda xx, tt, zz: dec_apply(frozen, params["shift"],
+                                             xx, tt, zz),
                 x_0)
             return out["prediction_loss"]
 

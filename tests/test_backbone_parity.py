@@ -194,6 +194,93 @@ class TorchLPIPSAlex(nn.Module):
         return total
 
 
+def test_inception_converter_cli_end_to_end(ref_inception_module, tmp_path):
+    """The exact command a user runs the day the weight file arrives:
+    ``convert_torch_checkpoint.py <pt> <ckpt> --inception``, output loaded
+    through the production path ``metrics.fid.inception_feature_fn`` and
+    feature-parity-checked against the reference's own load path
+    (/root/reference/metric/fid/inception.py:198-223, random weights)."""
+    ref = ref_inception_module
+    torch.manual_seed(7)
+    donor = ref._inception_v3(num_classes=1008, aux_logits=False,
+                              weights=None)
+    donor.Mixed_5b = ref.FIDInceptionA(192, pool_features=32)
+    donor.Mixed_5c = ref.FIDInceptionA(256, pool_features=64)
+    donor.Mixed_5d = ref.FIDInceptionA(288, pool_features=64)
+    donor.Mixed_6b = ref.FIDInceptionC(768, channels_7x7=128)
+    donor.Mixed_6c = ref.FIDInceptionC(768, channels_7x7=160)
+    donor.Mixed_6d = ref.FIDInceptionC(768, channels_7x7=160)
+    donor.Mixed_6e = ref.FIDInceptionC(768, channels_7x7=192)
+    donor.Mixed_7b = ref.FIDInceptionE_1(1280)
+    donor.Mixed_7c = ref.FIDInceptionE_2(2048)
+    sd = _randomize_state_dict(donor, seed=11)
+    pt_file = str(tmp_path / "pt_inception_random.pth")
+    torch.save(sd, pt_file)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(HERE), "scripts"))
+    try:
+        import convert_torch_checkpoint as cli
+    finally:
+        sys.path.pop(0)
+    out_file = str(tmp_path / "inception.ckpt")
+    cli.main([pt_file, out_file, "--inception"])
+
+    from pdae_tpu.metrics.fid import inception_feature_fn
+    features = inception_feature_fn(out_file)
+
+    model = ref.InceptionV3(resize_input=True, normalize_input=True,
+                            output_blocks=[3], use_fid_inception=True,
+                            inception_path=pt_file).eval()
+    rs = np.random.RandomState(5)
+    imgs_uint8 = rs.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    x01 = torch.from_numpy(
+        imgs_uint8.transpose(0, 3, 1, 2).astype(np.float32) / 255.0)
+    with torch.no_grad():
+        want = model(x01)[0].squeeze(-1).squeeze(-1).numpy()
+    got = features(imgs_uint8)
+    assert got.shape == want.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_lpips_converter_cli_end_to_end(tmp_path):
+    """``convert_torch_checkpoint.py <pt> <ckpt> --lpips`` on a
+    random-weight lpips-package state dict, output loaded through
+    ``metrics.lpips.load_params``/``lpips_distance`` and parity-checked
+    (reference loads the lpips package, metric/lpips_metric.py:11)."""
+    torch.manual_seed(9)
+    tm = TorchLPIPSAlex().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    for k in list(sd):
+        if ".model.1.weight" in k:
+            sd[k] = np.abs(sd[k])
+    tm.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()})
+    pt_file = str(tmp_path / "lpips_alex_random.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               pt_file)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(HERE), "scripts"))
+    try:
+        import convert_torch_checkpoint as cli
+    finally:
+        sys.path.pop(0)
+    out_file = str(tmp_path / "lpips.ckpt")
+    cli.main([pt_file, out_file, "--lpips"])
+
+    from pdae_tpu.metrics.lpips import load_params
+    params = load_params(out_file)
+
+    rs = np.random.RandomState(6)
+    a = np.clip(rs.randn(2, 3, 64, 64), -1, 1).astype(np.float32)
+    b = np.clip(rs.randn(2, 3, 64, 64), -1, 1).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    got = np.asarray(lpips_distance(
+        params, jnp.asarray(a.transpose(0, 2, 3, 1)),
+        jnp.asarray(b.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
 def test_lpips_distance_parity():
     torch.manual_seed(3)
     tm = TorchLPIPSAlex().eval()

@@ -34,7 +34,9 @@ SECTIONS = ["diffusion_config", "denoise_fn_config", "encoder_config",
 #   dims: reference's conv_nd dimensionality knob (always 2 for every
 #     shipped config; our models are 2-D only, so the key is omitted)
 #   latent_dim: our dataset configs carry the latent size explicitly
-IGNORED_KEYS = {"dims", "latent_dim"}
+#   steps_per_dispatch: our dispatch-amortization knob (K steps scanned
+#     into one XLA program, training/base.py); no reference counterpart
+IGNORED_KEYS = {"dims", "latent_dim", "steps_per_dispatch"}
 
 
 def _norm(v):
