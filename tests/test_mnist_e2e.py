@@ -76,8 +76,11 @@ def test_mnist_recipe_end_to_end(mnist_dir, tmp_path):
         base_channel=16, channel_multiplier=[1, 2],
         num_residual_blocks_of_a_block=1)
     config["dataloader_config"]["train"].update(batch_size=8, num_workers=2)
+    # shrunk cadences must carry K=1 (shipped configs default
+    # steps_per_dispatch: 4, which has to divide every cadence)
     config["runner_config"].update(display_steps=1, evaluate_every_steps=100,
-                                   save_latest_every_steps=100)
+                                   save_latest_every_steps=100,
+                                   steps_per_dispatch=1)
 
     run = str(tmp_path / "run")
     trainer = RegularDiffusionTrainer(config=config, run_path=run)
