@@ -60,9 +60,15 @@ def main():
                    help="default trimmed for driver wall-clock; the full\n                   batch sweep (16,32,64) is recorded in PERF.md")
     p.add_argument("--batches128", default="8")
     p.add_argument("--train_batch", type=int, default=32,
-                   help="per-chip train batch (celeba64 config uses 32)")
+                   help="per-chip train batch for the legacy --train_scan "
+                        "dispatch-loop mode")
+    p.add_argument("--train_batches64", default="32,64",
+                   help="64px train-step batch sweep (best reported)")
+    p.add_argument("--train_batch128", type=int, default=16,
+                   help="128px (ffhq geometry, remat-on) train batch")
     p.add_argument("--skip_128", action="store_true")
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--skip_train_128", action="store_true")
     p.add_argument("--skip_latency", action="store_true",
                    help="skip the batch-1 DDIM-100 serving-latency point")
     p.add_argument("--train_scan", type=int, default=0, metavar="K",
@@ -315,9 +321,36 @@ def main():
     best128 = (max(sweep128, key=lambda r: r["imgs_per_sec"])
                if sweep128 else None)
 
-    train64 = (None if args.skip_train
-               else bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
-                                n_steps=12))
+    # train points: K scanned steps, slope between two K values -- the
+    # honest device-time method (scripts/bench_train_step.py; dispatch
+    # idle and the ~25ms tunnel round-trip cancel in the slope).  The
+    # legacy dispatch-loop path remains behind --train_scan (it exists to
+    # SHOW the dispatch gap steps_per_dispatch removes).
+    train64 = train128 = None
+    if not args.skip_train:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_train_step import measure_train_step
+        peak_fl = peak * 1e12 if peak else None
+        sweep = [measure_train_step(64, b, peak_flops=peak_fl)
+                 for b in [int(v)
+                           for v in args.train_batches64.split(",")]]
+        best_t = max(sweep, key=lambda r: r["imgs_per_sec"])
+        train64 = dict(best_t)
+        train64["sweep"] = sweep
+        if not args.skip_train_128:
+            train128 = measure_train_step(
+                128, args.train_batch128, remat=True, peak_flops=peak_fl)
+        if args.train_scan > 1:
+            legacy = bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
+                                 n_steps=12)
+            (train64 or {}).update(
+                {"dispatch_loop": {k: legacy[k] for k in
+                                   ("steps_per_sec", "imgs_per_sec",
+                                    "batch")},
+                 "scan_k": legacy.get("scan_k"),
+                 "scan_steps_per_sec": legacy.get("scan_steps_per_sec"),
+                 "scan_imgs_per_sec": legacy.get("scan_imgs_per_sec")})
 
     # serving latency: ONE image through the whole DDIM-100 decode (the
     # batch-1 regime the resident service lives in; throughput numbers
@@ -349,6 +382,7 @@ def main():
         "ddim100_128px": strip(best128) if best128 else None,
         "sweep_128px": [strip(r) for r in sweep128],
         "train_64px": train64,
+        "train_128px": train128,
         "latency_b1_ms_ddim100_64px": latency_b1_ms,
     }
 
