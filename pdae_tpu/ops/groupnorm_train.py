@@ -77,19 +77,23 @@ def gn_adagn_silu_train(x, gn_scale, gn_bias, scale, shift, z_scale,
 
 
 def _fwd(x, gn_scale, gn_bias, scale, shift, z_scale, z_shift, groups):
+    # EXACTLY the pre-existing composition's op/dtype sequence (flax
+    # nn.GroupNorm: fp32 stats + fp32 normalize/affine, cast to the
+    # compute dtype, THEN the AdaGN chain and silu in the compute dtype).
+    # An earlier draft folded the whole affine chain into fp32
+    # y = xhat*A + B -- algebraically identical, but it cost the SAMPLING
+    # path 9% (XLA materialized the folded [B,1,1,C] broadcasts and ran
+    # the fused elementwise loops at fp32 width); the fold now lives only
+    # in the backward, where it is what enables the stat-caching math.
     c = x.shape[-1]
     x32 = x.astype(jnp.float32)
     mean, inv = _stats(x32, groups)
     xhat = (x32 - _per_channel(mean, groups, c)) * _per_channel(
         inv, groups, c)
-    A, B = _fold_affine(gn_scale.astype(jnp.float32),
-                        gn_bias.astype(jnp.float32),
-                        scale.astype(jnp.float32),
-                        shift.astype(jnp.float32),
-                        z_scale.astype(jnp.float32),
-                        z_shift.astype(jnp.float32))
-    y = xhat * A[:, None, None, :] + B[:, None, None, :]
-    out = (y * jax.nn.sigmoid(y)).astype(x.dtype)
+    y = (xhat * gn_scale + gn_bias).astype(x.dtype)
+    y = y * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+    y = (1.0 + z_scale[:, None, None, :]) * y + z_shift[:, None, None, :]
+    out = y * jax.nn.sigmoid(y)
     # residuals: x plus tiny per-(B,G)/(B,C) vectors -- generic autodiff
     # would also keep a [B,H,W,C] intermediate (xhat or y) alive
     return out, (x, mean, inv, gn_scale, gn_bias, scale, shift, z_scale,
