@@ -64,8 +64,14 @@ def main():
                         "dispatch-loop mode")
     p.add_argument("--train_batches64", default="32,64",
                    help="64px train-step batch sweep (best reported)")
-    p.add_argument("--train_batch128", type=int, default=16,
-                   help="128px (ffhq geometry, remat-on) train batch")
+    p.add_argument("--train_batch128", type=int, default=32,
+                   help="128px (ffhq geometry) train batch")
+    p.add_argument("--remat128", default="off",
+                   choices=["off", "full", "skips"],
+                   help="128px train remat mode (off is fastest on v5e "
+                        "since the GN VJP made the no-remat backward "
+                        "compile-feasible, PERF.md; full/skips trade "
+                        "throughput for activation memory)")
     p.add_argument("--skip_128", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_train_128", action="store_true")
@@ -340,7 +346,10 @@ def main():
         train64["sweep"] = sweep
         if not args.skip_train_128:
             train128 = measure_train_step(
-                128, args.train_batch128, remat=True, peak_flops=peak_fl)
+                128, args.train_batch128,
+                remat={"off": False, "full": True,
+                       "skips": "skips"}[args.remat128],
+                peak_flops=peak_fl)
         if args.train_scan > 1:
             legacy = bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
                                  n_steps=12)

@@ -21,6 +21,7 @@ from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .blocks import (TimeEmbedMLP, conv3x3, group_norm, timestep_embedding,
                      zeros_init)
@@ -94,6 +95,11 @@ class ShiftUNet(nn.Module):
         h = x.astype(self.dtype)
         for stage in self.input_blocks:
             h = apply_stage(stage, h, emb, deterministic=deterministic)
+            # remat-policy tag (see unet.py): with ``remat: skips`` the
+            # trunk skips are saved, so the PDAE backward recompute is the
+            # shift branch only -- the frozen trunk is never re-run and
+            # the epsilon decode path is DCE'd (no gradient flows there).
+            h = checkpoint_name(h, "unet_skip")
             hs.append(h)
 
         epsilon_h = apply_stage(self.middle_block, h, emb,

@@ -18,6 +18,7 @@ from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .blocks import (AttentionBlock, ResBlock, ResBlockShift, TimeEmbedMLP,
                      conv3x3, group_norm, timestep_embedding, zeros_init)
@@ -154,6 +155,11 @@ class UNet(nn.Module):
         h = x.astype(self.dtype)
         for stage in self.input_blocks:
             h = apply_stage(stage, h, emb, deterministic=deterministic)
+            # named for remat policy `save_only_these_names("unet_skip")`:
+            # under `runner_config.remat: skips` the skip activations are
+            # kept and the backward recompute starts from them instead of
+            # re-running the trunk (training/steps.py).  A no-op otherwise.
+            h = checkpoint_name(h, "unet_skip")
             hs.append(h)
         h = apply_stage(self.middle_block, h, emb, deterministic=deterministic)
         for stage in self.output_blocks:

@@ -26,6 +26,7 @@ from ..utils.rng import step_key
 from .base import BaseTrainer
 from .state import (TrainState, accumulate_grads, make_optimizer,
                     maybe_ema_update)
+from .steps import remat_wrap
 
 
 class RegularDiffusionTrainer(BaseTrainer):
@@ -64,11 +65,13 @@ class RegularDiffusionTrainer(BaseTrainer):
                                deterministic=False,
                                rngs={"dropout": drop_key})
 
-        if self.runner_config.get("remat"):
-            # checkpoint the TRAINING forward (the path with a backward
-            # pass): ~33% extra fwd FLOPs for activation memory.  The eval
-            # sampler has no backward, so checkpointing it would be a no-op
-            train_apply = jax.checkpoint(train_apply)
+        # checkpoint the TRAINING forward (the path with a backward
+        # pass): extra fwd FLOPs for activation memory.  The eval
+        # sampler has no backward, so checkpointing it would be a no-op.
+        # ``remat: skips`` saves the UNet skip activations so the
+        # backward recompute skips the trunk (steps.py::remat_wrap)
+        train_apply = remat_wrap(train_apply,
+                                 self.runner_config.get("remat"))
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, batch):

@@ -36,6 +36,7 @@ from .base import BaseTrainer
 from .partition import merge_params, split_shift_unet
 from .state import (TrainState, accumulate_grads, make_optimizer,
                     maybe_ema_update)
+from .steps import remat_wrap
 
 
 class RepresentationLearningTrainer(BaseTrainer):
@@ -101,12 +102,14 @@ class RepresentationLearningTrainer(BaseTrainer):
                                  shift_deterministic=False,
                                  rngs={"dropout": drop_key})
 
-        # rematerialization: trade ~33% extra fwd FLOPs for activation
-        # memory (128px models at large batch); runner_config.remat.
-        # Applied to the TRAINING forward (the one with a backward pass) --
-        # the eval sampler's dec_apply has no gradients to rematerialize
-        if self.runner_config.get("remat"):
-            dec_train_apply = jax.checkpoint(dec_train_apply)
+        # rematerialization: trade extra fwd FLOPs for activation memory
+        # (128px models at large batch); runner_config.remat.  Applied to
+        # the TRAINING forward (the one with a backward pass) -- the eval
+        # sampler's dec_apply has no gradients to rematerialize.
+        # ``remat: skips`` keeps the trunk skip activations saved so only
+        # the shift branch is recomputed (steps.py::remat_wrap).
+        dec_train_apply = remat_wrap(dec_train_apply,
+                                     self.runner_config.get("remat"))
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, frozen, batch):

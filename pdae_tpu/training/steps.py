@@ -21,22 +21,40 @@ from .partition import merge_params
 from .state import ema_update
 
 
+def remat_wrap(fn, mode):
+    """Apply the configured rematerialization to a model-forward fn.
+
+    ``mode`` is ``runner_config.remat``: falsy = no remat; ``"skips"`` =
+    checkpoint with the ``save_only_these_names("unet_skip")`` policy, so
+    the UNet/ShiftUNet skip activations (tagged in models/unet.py /
+    shift_unet.py) stay saved and the backward recompute never re-runs
+    the trunk -- for the PDAE step the recompute is then the shift branch
+    only (the epsilon path is DCE'd: no gradient flows there); any other
+    truthy value = full ``jax.checkpoint`` (recompute everything)."""
+    if not mode:
+        return fn
+    if mode == "skips":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                "unet_skip"))
+    return jax.checkpoint(fn)
+
+
 def make_representation_train_step(gd, encoder, decoder, tx,
                                    ema_decay: float = 0.9999,
-                                   remat: bool = False):
+                                   remat=False):
     """Pure ``(state, frozen, x_0, rng) -> (state, loss)`` step.
 
     ``state.params`` must be ``{"encoder": ..., "shift": ...}``; ``frozen``
     is the ShiftUNet trunk (never updated, merged for each forward).
-    ``remat=True`` checkpoints the decoder forward (the 128px training
-    configuration, training/representation.py:104-109)."""
+    ``remat`` checkpoints the decoder forward (the 128px training
+    configuration, training/representation.py:104-109): ``True`` = full,
+    ``"skips"`` = save the trunk skip activations (see :func:`remat_wrap`)."""
 
-    def dec_apply(frozen, shift, xx, tt, zz):
-        return decoder.apply({"params": merge_params(frozen, shift)},
-                             xx, tt, zz)
-
-    if remat:
-        dec_apply = jax.checkpoint(dec_apply)
+    dec_apply = remat_wrap(
+        lambda frozen, shift, xx, tt, zz: decoder.apply(
+            {"params": merge_params(frozen, shift)}, xx, tt, zz),
+        remat)
 
     def train_step(state, frozen, x_0, rng):
         def loss_fn(params):

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PEAK_BF16_TFLOPS = 197e12   # v5e; bench.py passes its own peak
 
 
-def measure_train_step(size: int, batch: int, remat: bool = False,
+def measure_train_step(size: int, batch: int, remat=False,
                        dtype_name: str = "bfloat16", k_lo: int = 2,
                        k_hi: int = 8, reps: int = 3, trace: str = None,
                        peak_flops: float = PEAK_BF16_TFLOPS) -> dict:
@@ -137,8 +137,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--size", type=int, default=64, choices=[64, 128])
-    p.add_argument("--remat", action="store_true",
-                   help="checkpoint the decoder fwd (128px train config)")
+    p.add_argument("--remat", nargs="?", const="full", default="off",
+                   choices=["off", "full", "skips"],
+                   help="checkpoint the decoder fwd (128px train config): "
+                        "full = recompute everything; skips = save the "
+                        "trunk skip activations (steps.py::remat_wrap)")
     p.add_argument("--gn_vjp", default="auto", choices=["auto", "on", "off"],
                    help="stat-caching closed-form GN backward (ops)")
     p.add_argument("--dtype", default="bfloat16")
@@ -163,7 +166,8 @@ def main():
         from pdae_tpu import ops
         ops.set_gn_train_vjp(args.gn_vjp == "on")
 
-    out = measure_train_step(args.size, args.batch, remat=args.remat,
+    remat = {"off": False, "full": True, "skips": "skips"}[args.remat]
+    out = measure_train_step(args.size, args.batch, remat=remat,
                              dtype_name=args.dtype, k_lo=args.k_lo,
                              k_hi=args.k_hi, reps=args.reps,
                              trace=args.trace)

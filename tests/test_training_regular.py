@@ -217,3 +217,90 @@ def test_remat_recomputes_training_forward(tmp_path):
             return [json.loads(l)["prediction_loss"] for l in f]
     np.testing.assert_allclose(losses(str(tmp_path / "a")),
                                losses(str(tmp_path / "b")), rtol=1e-5)
+
+
+def test_remat_skips_saves_trunk(tmp_path):
+    """``remat: skips`` keeps the tagged UNet skip activations saved
+    (models/unet.py checkpoint_name + steps.py::remat_wrap policy): the
+    emitted backward recomputes strictly fewer convolutions than full
+    remat but more than no remat -- with identical losses in all three
+    modes.  Counted at the jaxpr level: optimized-HLO string counts are
+    confounded by XLA CSE (full remat's duplicate convs CSE more)."""
+    import copy as _copy
+    import json
+
+    def make(mode, name):
+        cfg = _copy.deepcopy(TINY_CONFIG)
+        if mode is not None:
+            cfg["runner_config"]["remat"] = mode
+        return RegularDiffusionTrainer(config=cfg,
+                                       run_path=str(tmp_path / name))
+
+    def conv_count(tr):
+        batch = next(tr._batch_iterator(0))
+        jaxpr = jax.make_jaxpr(tr._train_step.__wrapped__)(tr.state, batch)
+        return str(jaxpr).count("conv_general_dilated")
+
+    trainers = {"none": make(None, "none"), "full": make(True, "full"),
+                "skips": make("skips", "skips")}
+    counts = {k: conv_count(tr) for k, tr in trainers.items()}
+    assert counts["none"] < counts["skips"] < counts["full"], counts
+
+    for tr in trainers.values():
+        tr.train(max_steps=2)
+
+    def losses(name):
+        with open(os.path.join(str(tmp_path / name), "metrics.jsonl")) as f:
+            return [json.loads(l)["prediction_loss"] for l in f]
+
+    np.testing.assert_allclose(losses("none"), losses("full"), rtol=1e-5)
+    np.testing.assert_allclose(losses("none"), losses("skips"), rtol=1e-5)
+
+
+def test_representation_step_remat_modes_equal():
+    """The PDAE train step produces the same updated params under
+    remat off / full / "skips" (the remat policy must not change math),
+    and "skips" recomputes less than full (HLO convolution count)."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from pdae_tpu.diffusion import GaussianDiffusion
+    from pdae_tpu.models import SemanticEncoder, ShiftUNet
+    from pdae_tpu.training.partition import split_shift_unet
+    from pdae_tpu.training.state import TrainState, make_optimizer
+    from pdae_tpu.training.steps import make_representation_train_step
+    from pdae_tpu.utils import init_key
+
+    gd = GaussianDiffusion({"timesteps": 20, "betas_type": "linear"})
+    decoder = ShiftUNet(latent_dim=16, **g.TINY_DPM)
+    encoder = SemanticEncoder(16, channels=(8, 16), attn_after_stage=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    enc_params = jax.jit(encoder.init)(init_key(0), x)["params"]
+    dec_params = jax.jit(decoder.init)(
+        init_key(1), x, jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    shift_params, frozen = split_shift_unet(dec_params)
+    tx = make_optimizer({"lr": 1e-3})
+    x_0 = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3),
+                      jnp.float32) * 2 - 1
+    rng = jax.random.PRNGKey(7)
+
+    results, convs = {}, {}
+    for mode in (False, True, "skips"):
+        step = make_representation_train_step(gd, encoder, decoder, tx,
+                                              remat=mode)
+        state = TrainState.create(
+            {"encoder": enc_params, "shift": shift_params}, tx)
+        jaxpr = jax.make_jaxpr(step)(state, frozen, x_0, rng)
+        convs[mode] = str(jaxpr).count("conv_general_dilated")
+        new_state, loss = jax.jit(step)(state, frozen, x_0, rng)
+        results[mode] = (jax.tree_util.tree_leaves(new_state.params),
+                         float(loss))
+
+    assert convs[False] < convs["skips"] < convs[True], convs
+    for mode in (True, "skips"):
+        np.testing.assert_allclose(results[mode][1], results[False][1],
+                                   rtol=1e-5)
+        for a, b in zip(results[mode][0], results[False][0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
