@@ -77,6 +77,9 @@ def main():
     p.add_argument("--skip_train_128", action="store_true")
     p.add_argument("--skip_latency", action="store_true",
                    help="skip the batch-1 DDIM-100 serving-latency point")
+    p.add_argument("--dpm_steps", type=int, default=20,
+                   help="NFE for the DPM-Solver++(2M) fast-decode points "
+                        "(0 skips them)")
     p.add_argument("--train_scan", type=int, default=0, metavar="K",
                    help="also bench K train steps scanned into one XLA "
                         "program (runner_config.steps_per_dispatch; "
@@ -104,7 +107,8 @@ def main():
     import numpy as np
 
     from __graft_entry__ import CELEBA64_DPM, FFHQ128_DPM, TINY_DPM
-    from pdae_tpu.diffusion import GaussianDiffusion, ddim as ddim_lib
+    from pdae_tpu.diffusion import (GaussianDiffusion, ddim as ddim_lib,
+                                    dpm_solver as dpm_lib)
     from pdae_tpu.models import ShiftUNet
     from pdae_tpu.utils import init_key
 
@@ -140,13 +144,31 @@ def main():
         except Exception:
             return None
 
-    def bench_sample(geometry, latent_dim, size, batch, reps):
+    def bench_sample(geometry, latent_dim, size, batch, reps,
+                     solver_steps=None):
+        """Time one full decode; ``solver_steps`` switches the loop from
+        DDIM-`steps` to DPM-Solver++(2M) with that many evals (the fast
+        serving path, diffusion/dpm_solver.py)."""
         model, params, x, t, z = build(geometry, latent_dim, size, batch)
 
-        @jax.jit
-        def fused(p, x_T, zz):
-            dec = lambda xx, tt, zz_: model.apply({"params": p}, xx, tt, zz_)
-            return ddim_lib.shift_ddim_sample_loop(dds, dec, zz, x_T)
+        if solver_steps:
+            tables = gd.solver_tables(f"dpm{solver_steps}")
+            n_evals = int(tables.num_steps)
+
+            @jax.jit
+            def fused(p, x_T, zz):
+                dec = lambda xx, tt, zz_: model.apply({"params": p},
+                                                      xx, tt, zz_)
+                return dpm_lib.shift_dpm_solver_sample_loop(
+                    tables, dec, zz, x_T)
+        else:
+            n_evals = steps
+
+            @jax.jit
+            def fused(p, x_T, zz):
+                dec = lambda xx, tt, zz_: model.apply({"params": p},
+                                                      xx, tt, zz_)
+                return ddim_lib.shift_ddim_sample_loop(dds, dec, zz, x_T)
 
         key = jax.random.PRNGKey(0)
         x_T = jax.random.normal(key, x.shape)
@@ -158,11 +180,11 @@ def main():
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         fl = eval_flops(model, params, x, t, z)
-        achieved_tf = fl * steps / dt / 1e12 if fl else None
+        achieved_tf = fl * n_evals / dt / 1e12 if fl else None
         return {
             "batch": batch,
             "imgs_per_sec": round(batch / dt, 3),
-            "denoise_steps_per_sec": round(batch * steps / dt, 1),
+            "denoise_steps_per_sec": round(batch * n_evals / dt, 1),
             "eval_gflops": round(fl / 1e9, 1) if fl else None,
             "achieved_tflops": round(achieved_tf, 1) if achieved_tf else None,
             "mfu_pct": (round(100 * achieved_tf / peak, 1)
@@ -370,6 +392,18 @@ def main():
         r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4)
         latency_b1_ms = round(1000.0 / r1["imgs_per_sec"], 1)
 
+    # fast decode: DPM-Solver++(2M) at ~5x fewer NFE through the same
+    # decoder (diffusion/dpm_solver.py) -- throughput at the best 64px
+    # batch + the batch-1 serving latency it unlocks
+    dpm_point = dpm_latency_b1_ms = None
+    if args.dpm_steps:
+        dpm_point = bench_sample(CELEBA64_DPM, 512, 64, best64["batch"],
+                                 reps, solver_steps=args.dpm_steps)
+        if not args.skip_latency:
+            r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4,
+                              solver_steps=args.dpm_steps)
+            dpm_latency_b1_ms = round(1000.0 / r1["imgs_per_sec"], 1)
+
     strip = lambda r: {k: v for k, v in r.items()
                        if k not in ("model", "params", "x_T", "z", "fused")}
     result = {
@@ -393,6 +427,9 @@ def main():
         "train_64px": train64,
         "train_128px": train128,
         "latency_b1_ms_ddim100_64px": latency_b1_ms,
+        f"dpm{args.dpm_steps}_64px": (strip(dpm_point) if dpm_point
+                                      else None),
+        f"latency_b1_ms_dpm{args.dpm_steps}_64px": dpm_latency_b1_ms,
     }
 
     if args.trace:

@@ -1,0 +1,212 @@
+"""DPM-Solver++(2M) multistep ODE sampling — fast decode beyond the reference.
+
+The reference (ckczzj/PDAE) only ships first-order samplers: ancestral DDPM
+and DDIM (``/root/reference/diffusion/ddim.py``).  This module adds a
+second-order multistep solver for the SAME probability-flow ODE the DDIM
+loops integrate, in the data-prediction ("DPM-Solver++") formulation of
+Lu et al., "DPM-Solver++: Fast Solver for Guided Sampling of Diffusion
+Probabilistic Models" (arXiv:2211.01095, Algorithm 2 / eq. 4.4) — so a
+``dpm20`` decode reaches DDIM-100-class trajectories at 5x fewer network
+evaluations.  Style strings ``"dpm<N>"`` are accepted anywhere a decode
+``ddim_style`` is (gaussian.py routes on the prefix), including the PDAE
+shift decoders and the latent DPM.
+
+TPU-first design, matching ddim.py: the whole N-step loop is ONE
+``jax.lax.scan`` program; every per-step scalar (sigma ratios, the
+exp(-h)-1 coefficient, the multistep correction weight) is precomputed in
+float64 numpy and scanned over as a stacked fp32 table, so the traced body
+is pure fused elementwise math around the model call.
+
+Math notes:
+  * Time grid: ``spacing="lambda"`` (default) places the N+1 grid points
+    uniformly in half-log-SNR lambda = log(alpha/sigma), snapped to the
+    discrete training time axis; ``spacing="t"`` reuses the exact
+    ``respace`` sub-sequence a ``ddim<N>`` run visits (schedules.py:120-142).
+    Measured on the analytic-Gaussian benchmark in tests/test_dpm_solver.py
+    the lambda grid cuts the 10-step order-2 endpoint error ~150x vs the t
+    grid: a uniform-t grid leaves a ~3.5-lambda span to the final step
+    (lambda(0) = 4.6 for the linear schedule), which dominates the error
+    budget at any order.  Either grid never reaches sigma=0 (the last
+    point is abar[0] < 1), so every lambda is finite.
+  * x0-prediction with the SAME clamp convention as the DDIM loops
+    (predict x_0, clamp to [-1,1]) so ``order=1`` on ``spacing="t"`` is
+    algebraically IDENTICAL to ddim_sample_loop:
+        x_t = (sigma_t/sigma_s) x_s + (alpha_t - sigma_t alpha_s/sigma_s) x0
+    equals DDIM's "clamp x0, recompute noise, step" update exactly
+    (tested to 1e-5 in tests/test_dpm_solver.py).
+  * order=2 adds the multistep correction
+        x0_eff = x0_k + (h_k / (2 h_{k-1})) (x0_k - x0_{k-1})
+    with lower-order endpoints: the first step has no history and the LAST
+    step runs first order ("lower_order_final", as in the reference
+    implementations) — without it the extrapolation across the big final
+    lambda span destroys convergence (measured: non-monotone error in N).
+  * PDAE shift: the model's predicted noise is shifted by
+    ``eps - sqrt(1-abar_t) * g`` under the same ``stop_percent`` gate as
+    shift_ddim_sample_loop (reference ddim.py:94-96,115-119).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import respace
+
+
+def solver_steps_from_style(style: str) -> int:
+    """'dpm20' -> 20."""
+    assert style.startswith("dpm"), style
+    return int(style[len("dpm"):])
+
+
+class SolverTables(NamedTuple):
+    """Per-step coefficient tables for the scan, each of shape [num_steps].
+
+    Step k integrates from grid position k (x_T sits at position 0) down to
+    position k+1; the model is evaluated at the *original* time axis
+    ``t_model[k]`` exactly like the DDIM loops (ddim.py::_t_vec).
+    """
+
+    t_model: jnp.ndarray        # int32 — original-axis timestep for the eval
+    sr: jnp.ndarray             # 1/alpha_s           (x0 = sr*x - srm1*eps)
+    srm1: jnp.ndarray           # sigma_s/alpha_s
+    sigma_s: jnp.ndarray        # sqrt(1-abar_s) — the shift coefficient
+    ratio: jnp.ndarray          # sigma_t/sigma_s
+    acoef: jnp.ndarray          # -alpha_t*(exp(-h)-1) = alpha_t - sigma_t*alpha_s/sigma_s
+    c2: jnp.ndarray             # 0.5*h_k/h_{k-1} (0 at k=0 -> first order)
+
+    @property
+    def num_steps(self) -> int:
+        return self.t_model.shape[0]
+
+
+def _grid_indices(abar: np.ndarray, n: int, spacing: str) -> np.ndarray:
+    """N+1 original-axis time indices, DESCENDING (x_T level first).
+
+    ``"t"``: the exact ``respace`` sub-sequence of a ``ddim<N>`` run.
+    ``"lambda"``: uniform in half-log-SNR, snapped to the discrete axis —
+    clusters points at low noise where the t grid is catastrophically
+    coarse (see module docstring).  Snapping may merge neighbours, so the
+    realized step count can be slightly below N at extreme N.
+    """
+    if spacing == "t":
+        _, timestep_map = respace(abar, f"ddim{n}")
+        return timestep_map[::-1].copy()
+    assert spacing == "lambda", spacing
+    lam = np.log(np.sqrt(abar) / np.sqrt(1.0 - abar))
+    targets = np.linspace(lam[-1], lam[0], n + 1)
+    idx = sorted({int(np.argmin(np.abs(lam - lt))) for lt in targets},
+                 reverse=True)
+    idx[0], idx[-1] = abar.shape[0] - 1, 0
+    return np.asarray(idx)
+
+
+def make_solver_tables(schedule_alphas_cumprod, style: str,
+                       spacing: str = "lambda") -> SolverTables:
+    """Build the DPM-Solver++ step tables for ``style`` = ``"dpm<N>"``."""
+    n = solver_steps_from_style(style)
+    abar_full = np.asarray(schedule_alphas_cumprod, dtype=np.float64)
+    idx = _grid_indices(abar_full, n, spacing)     # descending, len m+1
+    abar = abar_full[idx]
+    alpha = np.sqrt(abar)
+    sigma = np.sqrt(1.0 - abar)
+    lam = np.log(alpha / sigma)
+
+    # step k integrates grid position k (=s) -> k+1 (=t)
+    s, t = np.arange(len(idx) - 1), np.arange(1, len(idx))
+    h = lam[t] - lam[s]                # > 0 (lambda grows as noise shrinks)
+    c2 = np.zeros_like(h)
+    c2[1:] = 0.5 * h[1:] / h[:-1]
+    c2[-1] = 0.0                       # lower_order_final (module docstring)
+
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    return SolverTables(
+        t_model=jnp.asarray(idx[s], dtype=jnp.int32),
+        sr=f32(1.0 / alpha[s]),
+        srm1=f32(sigma[s] / alpha[s]),
+        sigma_s=f32(sigma[s]),
+        ratio=f32(sigma[t] / sigma[s]),
+        acoef=f32(alpha[t] - sigma[t] * alpha[s] / sigma[s]),
+        c2=f32(c2),
+    )
+
+
+def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return v.reshape((1,) * ndim)
+
+
+def _solver_scan(tables: SolverTables, eps_fn: Callable, x_T,
+                 order: int, clip_x0: bool = True):
+    """Core multistep scan. ``eps_fn(x, k) -> predicted noise`` at step k."""
+    assert order in (1, 2), order
+    nd = x_T.ndim
+
+    def body(carry, k):
+        x, x0_prev = carry
+        eps = eps_fn(x, k)
+        x0 = _bcast(tables.sr[k], nd) * x - _bcast(tables.srm1[k], nd) * eps
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        if order == 2:
+            # first step: c2[0]=0 -> plain first-order update
+            x0_eff = x0 + _bcast(tables.c2[k], nd) * (x0 - x0_prev)
+        else:
+            x0_eff = x0
+        x = _bcast(tables.ratio[k], nd) * x + _bcast(tables.acoef[k], nd) * x0_eff
+        return (x, x0), None
+
+    (x, _), _ = jax.lax.scan(body, (x_T, jnp.zeros_like(x_T)),
+                             jnp.arange(tables.num_steps))
+    return x
+
+
+def dpm_solver_sample_loop(tables: SolverTables, denoise_fn: Callable, x_T,
+                           condition=None, order: int = 2):
+    """DPM-Solver++ sampling x_T -> x_0 for a plain epsilon model.
+
+    Drop-in fast alternative to ``ddim_sample_loop`` (order=1 reproduces it
+    exactly); ``denoise_fn(x, t, condition) -> eps``.
+    """
+    batch = x_T.shape[0]
+
+    def eps_fn(x, k):
+        t = jnp.full((batch,), 0, jnp.int32) + tables.t_model[k]
+        return denoise_fn(x, t, condition)
+
+    return _solver_scan(tables, eps_fn, x_T, order)
+
+
+def shift_dpm_solver_sample_loop(tables: SolverTables, decoder: Callable, z,
+                                 x_T, stop_percent: float = 0.0,
+                                 order: int = 2):
+    """PDAE shift decode with DPM-Solver++.
+
+    ``decoder(x, t, z) -> (eps, gradient)``; the shift is applied to the
+    predicted noise under the same gate as shift_ddim_sample_loop: with
+    loop index i = n-k, shift while (i-1) >= int(stop_percent*n)
+    (reference ddim.py:115-119).
+    """
+    n = tables.num_steps
+    batch = x_T.shape[0]
+    stop_step = int(stop_percent * n)
+
+    def eps_fn(x, k):
+        t = jnp.full((batch,), 0, jnp.int32) + tables.t_model[k]
+        eps, gradient = decoder(x, t, z)
+        use_shift = (n - k - 1) >= stop_step
+        shifted = eps - _bcast(tables.sigma_s[k], x.ndim) * gradient
+        return jnp.where(use_shift, shifted, eps)
+
+    return _solver_scan(tables, eps_fn, x_T, order)
+
+
+def latent_dpm_solver_sample_loop(tables: SolverTables,
+                                  latent_denoise_fn: Callable, z_T,
+                                  order: int = 2):
+    """Latent-DPM decode with DPM-Solver++ (keeps the [-1,1] x0 clamp of the
+    reference's *called* latent path, see ddim.py:160-169)."""
+    return dpm_solver_sample_loop(
+        tables, lambda x, t, _c: latent_denoise_fn(x, t), z_T, order=order)

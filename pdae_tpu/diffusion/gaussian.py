@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import ddim as ddim_lib
+from . import dpm_solver as dpm_lib
 from .schedules import (DDIMSchedule, Schedule, extract, make_ddim_schedule,
                         make_schedule)
 
@@ -130,7 +131,30 @@ class GaussianDiffusion:
     def latent_ddim_schedule(self, ddim_style: str) -> DDIMSchedule:
         return make_ddim_schedule(self.latent_schedule.alphas_cumprod, ddim_style)
 
+    # Decode ("sample") styles accept an extended vocabulary beyond the
+    # reference: "ddim<N>" runs the reference-parity DDIM loop, "dpm<N>"
+    # runs DPM-Solver++(2M) over the same re-spaced grid (dpm_solver.py) --
+    # ~5x fewer NFE for DDIM-100-class trajectories.  Encoding styles remain
+    # DDIM-only (inversion has no multistep formulation here).
+
+    @staticmethod
+    def _is_solver_style(style: str) -> bool:
+        return style.startswith("dpm")
+
+    def solver_tables(self, style: str,
+                      spacing: str = "lambda") -> dpm_lib.SolverTables:
+        return dpm_lib.make_solver_tables(self.schedule.alphas_cumprod, style,
+                                          spacing=spacing)
+
+    def latent_solver_tables(self, style: str,
+                             spacing: str = "lambda") -> dpm_lib.SolverTables:
+        return dpm_lib.make_solver_tables(self.latent_schedule.alphas_cumprod,
+                                          style, spacing=spacing)
+
     def ddim_sample(self, ddim_style, denoise_fn, x_T, condition=None):
+        if self._is_solver_style(ddim_style):
+            return dpm_lib.dpm_solver_sample_loop(
+                self.solver_tables(ddim_style), denoise_fn, x_T, condition)
         return ddim_lib.ddim_sample_loop(
             self.ddim_schedule(ddim_style), denoise_fn, x_T, condition)
 
@@ -244,6 +268,10 @@ class GaussianDiffusion:
                                             x_0, x_T, z=None, stop_percent=0.0):
         if z is None:
             z = encoder(x_0)
+        if self._is_solver_style(ddim_style):
+            return dpm_lib.shift_dpm_solver_sample_loop(
+                self.solver_tables(ddim_style), decoder, z, x_T,
+                stop_percent=stop_percent)
         return ddim_lib.shift_ddim_sample_loop(
             self.ddim_schedule(ddim_style), decoder, z, x_T,
             stop_percent=stop_percent)
@@ -368,8 +396,13 @@ class GaussianDiffusion:
         if z_T is None:
             z_T = jax.random.normal(rng, (batch, latent_dim), x_T.dtype)
         z_T = jnp.clip(z_T, -1.0, 1.0)  # clamp follows the reference's sampling path
-        dds = self.latent_ddim_schedule(latent_ddim_style)
-        z = ddim_lib.latent_ddim_sample_loop(dds, latent_denoise_fn, z_T)
+        if self._is_solver_style(latent_ddim_style):
+            z = dpm_lib.latent_dpm_solver_sample_loop(
+                self.latent_solver_tables(latent_ddim_style),
+                latent_denoise_fn, z_T)
+        else:
+            dds = self.latent_ddim_schedule(latent_ddim_style)
+            z = ddim_lib.latent_ddim_sample_loop(dds, latent_denoise_fn, z_T)
         z = self.denormalize(z, latents_mean, latents_std)
         return self.representation_learning_ddim_sample(
             decoder_ddim_style, None, decoder, None, x_T, z, stop_percent=0.3)

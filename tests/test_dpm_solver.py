@@ -1,0 +1,202 @@
+"""DPM-Solver++(2M) tests (pdae_tpu/diffusion/dpm_solver.py).
+
+Three layers of evidence:
+  * order=1 is algebraically the same update as the DDIM loops (plain,
+    shift, latent) — exact cross-checks against ddim.py on the same grid.
+  * order=2 really is second-order: on an analytic Gaussian diffusion the
+    probability-flow ODE has a closed-form solution, and the measured
+    error halves ~4x per grid doubling (vs ~2x for DDIM), with a large
+    absolute advantage at equal NFE.
+  * the "dpm<N>" style strings dispatch through GaussianDiffusion wherever
+    a decode ddim_style is accepted (and are rejected for encode styles).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdae_tpu.diffusion import GaussianDiffusion, ddim, dpm_solver
+from pdae_tpu.diffusion.schedules import extract
+
+
+def _toy_denoise_fn(x, t, condition=None):
+    tt = (t.astype(jnp.float32) / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+    return 0.3 * jnp.tanh(x) + 0.1 * jnp.sin(3.0 * x) * tt
+
+
+def _toy_decoder(x, t, z):
+    eps = _toy_denoise_fn(x, t)
+    zz = jnp.mean(z, axis=-1).reshape((-1,) + (1,) * (x.ndim - 1))
+    g = 0.05 * jnp.cos(x) * (1.0 + zz)
+    return eps, g
+
+
+def test_order1_matches_ddim_loop():
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    tables = gd.solver_tables("dpm10", spacing="t")
+    got = dpm_solver.dpm_solver_sample_loop(tables, _toy_denoise_fn, x_T,
+                                            order=1)
+    want = ddim.ddim_sample_loop(gd.ddim_schedule("ddim10"), _toy_denoise_fn,
+                                 x_T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shift_order1_matches_shift_ddim_loop():
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    tables = gd.solver_tables("dpm10", spacing="t")
+    dds = gd.ddim_schedule("ddim10")
+    for sp in (0.0, 0.3, 1.0):
+        got = dpm_solver.shift_dpm_solver_sample_loop(
+            tables, _toy_decoder, z, x_T, stop_percent=sp, order=1)
+        want = ddim.shift_ddim_sample_loop(dds, _toy_decoder, z, x_T,
+                                           stop_percent=sp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"sp={sp}")
+
+
+def test_latent_order1_matches_latent_ddim_loop():
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    z_T = 2.0 * jax.random.normal(jax.random.PRNGKey(3), (3, 16))
+    f = lambda z, t: 0.2 * jnp.tanh(z)
+    tables = gd.latent_solver_tables("dpm10", spacing="t")
+    got = dpm_solver.latent_dpm_solver_sample_loop(tables, f, z_T, order=1)
+    want = ddim.latent_ddim_sample_loop(gd.latent_ddim_schedule("ddim10"),
+                                        f, z_T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# analytic second-order accuracy
+# --------------------------------------------------------------------- #
+
+_MU, _SVAR = 0.1, 0.04   # data ~ N(mu, svar*I); values keep x0-hat in [-1,1]
+
+
+def _gaussian_eps_fn(schedule):
+    """Exact epsilon-predictor for x_0 ~ N(mu, svar*I): the posterior mean
+    E[x_0|x_t] is closed-form, so the model — and hence the probability-flow
+    ODE the solvers integrate — is analytic."""
+
+    def eps(x, t, condition=None):
+        a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
+        sig = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+        x0_hat = (_SVAR * a * x + sig ** 2 * _MU) / (a ** 2 * _SVAR + sig ** 2)
+        return (x - a * x0_hat) / sig
+
+    return eps
+
+
+def _gaussian_exact_x0(gd, x_T):
+    """Closed-form PF-ODE flow for Gaussian marginals N(a_t*mu, std_t^2):
+    the (coordinate-wise monotone, affine) map
+    x(t) = a_t*mu + (std_t/std_s)*(x(s) - a_s*mu).  Both grid spacings pin
+    the top point to t=T-1 and the bottom to t=0, and for an affine flow
+    the exact endpoint depends only on those levels."""
+    abar = np.asarray(gd.schedule.alphas_cumprod, dtype=np.float64)
+    a_top, a_bot = np.sqrt(abar[-1]), np.sqrt(abar[0])
+    std = lambda ab: np.sqrt(ab * _SVAR + (1.0 - ab))
+    return (a_bot * _MU
+            + (std(abar[0]) / std(abar[-1])) * (np.asarray(x_T) - a_top * _MU))
+
+
+def _gaussian_errs(gd, x_T, cases):
+    eps_fn = _gaussian_eps_fn(gd.schedule)
+    exact = _gaussian_exact_x0(gd, x_T)
+    errs = {}
+    for spacing, order, n in cases:
+        tables = gd.solver_tables(f"dpm{n}", spacing=spacing)
+        got = np.asarray(dpm_solver.dpm_solver_sample_loop(
+            tables, eps_fn, jnp.asarray(x_T, jnp.float32), order=order))
+        errs[(spacing, order, n)] = float(np.max(np.abs(got - exact)))
+    return errs
+
+
+def test_second_order_convergence_on_analytic_gaussian():
+    """On the smooth uniform-t grid the 2M solver's error falls decisively
+    faster than first order's as the grid refines (measured ~46x vs ~6x
+    from n=10 to n=80)."""
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (4, 8))) * 0.7
+    errs = _gaussian_errs(gd, x_T, [("t", o, n) for o in (1, 2)
+                                    for n in (10, 80)])
+    r1 = errs[("t", 1, 10)] / errs[("t", 1, 80)]
+    r2 = errs[("t", 2, 10)] / errs[("t", 2, 80)]
+    assert r2 > 3.0 * r1, errs
+    assert r2 > 20.0, errs
+    assert errs[("t", 2, 80)] < errs[("t", 1, 80)] / 3, errs
+
+
+def test_lambda_grid_advantage_on_analytic_gaussian():
+    """The default uniform-lambda grid dominates at low NFE: order-2 on
+    dpm10 measures ~150x more accurate than the same solver on the t grid
+    (whose final step spans ~3.5 lambda), and ~10x+ better than first
+    order on its own grid."""
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (4, 8))) * 0.7
+    errs = _gaussian_errs(gd, x_T,
+                          [("lambda", 1, 10), ("lambda", 2, 10),
+                           ("lambda", 2, 20), ("t", 2, 10)])
+    assert errs[("lambda", 2, 10)] < errs[("t", 2, 10)] / 20, errs
+    assert errs[("lambda", 2, 10)] < errs[("lambda", 1, 10)] / 10, errs
+    # tiny absolute endpoint error at 10 and 20 NFE
+    assert errs[("lambda", 2, 10)] < 5e-3, errs
+    assert errs[("lambda", 2, 20)] < 1e-2, errs
+
+
+def test_order2_differs_from_order1_and_is_finite():
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 3))
+    tables = gd.solver_tables("dpm10")
+    a = dpm_solver.dpm_solver_sample_loop(tables, _toy_denoise_fn, x_T, order=2)
+    b = dpm_solver.dpm_solver_sample_loop(tables, _toy_denoise_fn, x_T, order=1)
+    assert np.all(np.isfinite(np.asarray(a)))
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-5
+
+
+# --------------------------------------------------------------------- #
+# dispatch through GaussianDiffusion
+# --------------------------------------------------------------------- #
+
+def test_gaussian_diffusion_style_dispatch():
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 3))
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, 16))
+
+    got = gd.ddim_sample("dpm10", _toy_denoise_fn, x_T)
+    want = dpm_solver.dpm_solver_sample_loop(gd.solver_tables("dpm10"),
+                                             _toy_denoise_fn, x_T, order=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    got = gd.representation_learning_ddim_sample(
+        "dpm10", None, _toy_decoder, None, x_T, z=z, stop_percent=0.3)
+    want = dpm_solver.shift_dpm_solver_sample_loop(
+        gd.solver_tables("dpm10"), _toy_decoder, z, x_T, stop_percent=0.3,
+        order=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_latent_diffusion_sample_accepts_solver_styles():
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_T = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 3))
+    f = lambda z, t: 0.2 * jnp.tanh(z)
+    out = gd.latent_diffusion_sample(
+        jax.random.PRNGKey(9), "dpm10", "dpm10", f, _toy_decoder, x_T,
+        0.0, 1.0, latent_dim=16)
+    assert out.shape == x_T.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_encode_styles_reject_solver_strings():
+    gd = GaussianDiffusion({"timesteps": 100, "betas_type": "linear"})
+    x_0 = 0.1 * jnp.ones((1, 8, 8, 3))
+    with pytest.raises(AssertionError):
+        gd.ddim_encode("dpm10", _toy_denoise_fn, x_0)
+    with pytest.raises(AssertionError):
+        gd.representation_learning_ddim_encode(
+            "dpm10", None, _toy_decoder, x_0, z=jnp.ones((1, 16)))

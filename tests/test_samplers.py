@@ -291,3 +291,26 @@ def test_multichip_sampler_sharding_invariance():
     sharded = np.asarray(fn(repl_params, sharded_x))[:real]
 
     np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-6)
+
+
+def test_samplers_accept_dpm_solver_styles(stack, tmp_path):
+    """'dpm<N>' fast-decode styles (diffusion/dpm_solver.py) run through the
+    real sampler stack end to end: autoencoding eval decodes with the 2M
+    solver, and the unconditional pipeline uses it for BOTH the latent DPM
+    and the shift decode."""
+    cfg = _pdae_sampler_config(
+        stack, encoder_ddim_style="ddim10", decoder_ddim_style="dpm5",
+        batch_size=8, max_samples=8)
+    results = SAMPLERS["autoencoding_eval"](cfg).start()
+    assert 0.0 <= results["ssim"] <= 1.0
+
+    cfg = _pdae_sampler_config(
+        stack,
+        latent_config_path=stack["latent_cfg"],
+        latent_checkpoint_path=stack["lat_ckpt"],
+        inferred_latents_path=stack["latents"],
+        num_samples=4, batch_size=4,
+        latent_ddim_style="dpm5", decoder_ddim_style="dpm5",
+        output_path=str(tmp_path / "uncond_dpm.png"))
+    out = SAMPLERS["unconditional_sample"](cfg).start()
+    assert os.path.exists(out)
