@@ -395,7 +395,7 @@ def main():
     # fast decode: DPM-Solver++(2M) at ~5x fewer NFE through the same
     # decoder (diffusion/dpm_solver.py) -- throughput at the best 64px
     # batch + the batch-1 serving latency it unlocks
-    dpm_point = dpm_latency_b1_ms = None
+    dpm_point = dpm_point128 = dpm_latency_b1_ms = None
     if args.dpm_steps:
         dpm_point = bench_sample(CELEBA64_DPM, 512, 64, best64["batch"],
                                  reps, solver_steps=args.dpm_steps)
@@ -403,6 +403,10 @@ def main():
             r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4,
                               solver_steps=args.dpm_steps)
             dpm_latency_b1_ms = round(1000.0 / r1["imgs_per_sec"], 1)
+        if best128:
+            dpm_point128 = bench_sample(FFHQ128_DPM, 512, 128,
+                                        best128["batch"], reps,
+                                        solver_steps=args.dpm_steps)
 
     strip = lambda r: {k: v for k, v in r.items()
                        if k not in ("model", "params", "x_T", "z", "fused")}
@@ -430,6 +434,8 @@ def main():
         f"dpm{args.dpm_steps}_64px": (strip(dpm_point) if dpm_point
                                       else None),
         f"latency_b1_ms_dpm{args.dpm_steps}_64px": dpm_latency_b1_ms,
+        f"dpm{args.dpm_steps}_128px": (strip(dpm_point128) if dpm_point128
+                                       else None),
     }
 
     if args.trace:

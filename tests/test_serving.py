@@ -330,3 +330,21 @@ def test_batcher_thread_hammer(service):
         assert b.stats()["calls"] < len(jobs)
     finally:
         b.close()
+
+
+def test_autoencode_and_generate_accept_dpm_styles(service):
+    """The fast-decode 'dpm<N>' styles work through the resident service
+    (per-call style override -> GaussianDiffusion prefix dispatch)."""
+    imgs = _images(2)
+    recon = service.autoencode(imgs, encode_style="ddim5",
+                               decode_style="dpm5")
+    assert recon.shape == (2, 16, 16, 1) and recon.dtype == np.uint8
+    a = service.generate(2, seed=7, latent_style="dpm5", decode_style="dpm5")
+    b = service.generate(2, seed=7, latent_style="dpm5", decode_style="dpm5")
+    assert a.shape == (2, 16, 16, 1)
+    np.testing.assert_array_equal(a, b)
+    # NB: dpm5 vs ddim5 outputs coincide here BY MATH, not by a plumbing
+    # bug: the fixture's 1-step-trained UNet has zero-init output convs, so
+    # eps ~= 0 and every sampler's update telescopes to x * alpha_bot/alpha_top
+    # independent of grid/order.  That the style string reaches the solver
+    # is pinned by tests/test_dpm_solver.py::test_gaussian_diffusion_style_dispatch.
