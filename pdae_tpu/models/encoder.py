@@ -19,7 +19,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..parallel import constrain_batch
+from ..parallel import constrain_batch, constrain_spatial
 from .blocks import AttentionBlock, conv3x3, group_norm
 
 
@@ -32,12 +32,14 @@ class SemanticEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = x.astype(self.dtype)
+        # spatial-parallel hint (no-op off [data, sp] meshes, see unet.py)
+        h = constrain_spatial(x.astype(self.dtype))
         for i, ch in enumerate(self.channels):
             if i > 0:
                 h = group_norm(self.channels[i - 1], self.dtype, name=f"norm_{i}")(h)
                 h = nn.silu(h)
-            h = conv3x3(ch, stride=2, dtype=self.dtype, name=f"conv_{i}")(h)
+            h = constrain_spatial(
+                conv3x3(ch, stride=2, dtype=self.dtype, name=f"conv_{i}")(h))
             if (i + 1) == self.attn_after_stage:
                 h = AttentionBlock(ch, num_heads=self.attn_heads,
                                    head_channel=-1,

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
+from ..parallel import constrain_spatial
 from .blocks import (TimeEmbedMLP, conv3x3, group_norm, timestep_embedding,
                      zeros_init)
 from .unet import apply_stage, build_trunk
@@ -92,9 +93,12 @@ class ShiftUNet(nn.Module):
         shift_emb = self.label_emb(condition.astype(self.dtype))
 
         hs = []
-        h = x.astype(self.dtype)
+        # spatial-parallel hints as in unet.py: H-sharded activations on an
+        # [data, sp] mesh, identity everywhere else
+        h = constrain_spatial(x.astype(self.dtype))
         for stage in self.input_blocks:
-            h = apply_stage(stage, h, emb, deterministic=deterministic)
+            h = constrain_spatial(
+                apply_stage(stage, h, emb, deterministic=deterministic))
             # remat-policy tag (see unet.py): with ``remat: skips`` the
             # trunk skips are saved, so the PDAE backward recompute is the
             # shift branch only -- the frozen trunk is never re-run and
@@ -102,20 +106,24 @@ class ShiftUNet(nn.Module):
             h = checkpoint_name(h, "unet_skip")
             hs.append(h)
 
-        epsilon_h = apply_stage(self.middle_block, h, emb,
-                                deterministic=deterministic)
-        shift_h = apply_stage(self.shift_middle_block, h, emb, shift_emb,
-                              deterministic=shift_deterministic)
+        epsilon_h = constrain_spatial(
+            apply_stage(self.middle_block, h, emb,
+                        deterministic=deterministic))
+        shift_h = constrain_spatial(
+            apply_stage(self.shift_middle_block, h, emb, shift_emb,
+                        deterministic=shift_deterministic))
 
         for stage, shift_stage in zip(self.output_blocks,
                                       self.shift_output_blocks):
             h_previous = hs.pop()
             epsilon_h = jnp.concatenate([epsilon_h, h_previous], axis=-1)
-            epsilon_h = apply_stage(stage, epsilon_h, emb,
-                                    deterministic=deterministic)
+            epsilon_h = constrain_spatial(
+                apply_stage(stage, epsilon_h, emb,
+                            deterministic=deterministic))
             shift_h = jnp.concatenate([shift_h, h_previous], axis=-1)
-            shift_h = apply_stage(shift_stage, shift_h, emb, shift_emb,
-                                  deterministic=shift_deterministic)
+            shift_h = constrain_spatial(
+                apply_stage(shift_stage, shift_h, emb, shift_emb,
+                            deterministic=shift_deterministic))
 
         epsilon = self.out_conv(nn.silu(self.out_norm(epsilon_h)))
         gradient = self.shift_out_conv(nn.silu(self.shift_out_norm(shift_h)))

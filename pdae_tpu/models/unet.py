@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
+from ..parallel import constrain_spatial
 from .blocks import (AttentionBlock, ResBlock, ResBlockShift, TimeEmbedMLP,
                      conv3x3, group_norm, timestep_embedding, zeros_init)
 
@@ -152,18 +153,25 @@ class UNet(nn.Module):
             emb = emb + self.label_emb(condition)
 
         hs = []
-        h = x.astype(self.dtype)
+        # spatial-parallel hint: under an [data, sp] mesh the activations
+        # stay H-sharded through every stage (GSPMD halo-exchange convs);
+        # identity on every other mesh (parallel.constrain_spatial)
+        h = constrain_spatial(x.astype(self.dtype))
         for stage in self.input_blocks:
-            h = apply_stage(stage, h, emb, deterministic=deterministic)
+            h = constrain_spatial(
+                apply_stage(stage, h, emb, deterministic=deterministic))
             # named for remat policy `save_only_these_names("unet_skip")`:
             # under `runner_config.remat: skips` the skip activations are
             # kept and the backward recompute starts from them instead of
             # re-running the trunk (training/steps.py).  A no-op otherwise.
             h = checkpoint_name(h, "unet_skip")
             hs.append(h)
-        h = apply_stage(self.middle_block, h, emb, deterministic=deterministic)
+        h = constrain_spatial(
+            apply_stage(self.middle_block, h, emb,
+                        deterministic=deterministic))
         for stage in self.output_blocks:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = apply_stage(stage, h, emb, deterministic=deterministic)
+            h = constrain_spatial(
+                apply_stage(stage, h, emb, deterministic=deterministic))
         h = nn.silu(self.out_norm(h))
         return self.out_conv(h).astype(jnp.float32)

@@ -1,7 +1,9 @@
-from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, MODEL_AXIS, ambient_mesh,
-                   constrain_batch, data_sharding,
+from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, MODEL_AXIS, SPATIAL_AXIS,
+                   ambient_mesh,
+                   constrain_batch, constrain_spatial, data_sharding,
                    fsdp_sharding, fsdp_shardings, local_mesh,
-                   make_hier_mesh, make_mesh, make_tp_mesh, mesh_data_axes,
+                   make_hier_mesh, make_mesh, make_sp_mesh, make_tp_mesh,
+                   mesh_data_axes,
                    pad_shard_batch, replicate,
                    replicated, shard_batch, shard_tree_fsdp, shard_tree_tp,
                    tp_sharding, tp_shardings)
@@ -13,11 +15,12 @@ from .dist import (dispatch_num_samples_for_process, gather_objects,
                    process_shard_indices, sync_global_devices)
 
 __all__ = [
-    "DATA_AXIS", "DCN_AXIS", "ICI_AXIS", "MODEL_AXIS", "ambient_mesh",
-    "constrain_batch", "data_sharding",
+    "DATA_AXIS", "DCN_AXIS", "ICI_AXIS", "MODEL_AXIS", "SPATIAL_AXIS",
+    "ambient_mesh",
+    "constrain_batch", "constrain_spatial", "data_sharding",
     "fsdp_sharding",
     "fsdp_shardings", "local_mesh", "make_hier_mesh", "make_mesh",
-    "make_tp_mesh",
+    "make_sp_mesh", "make_tp_mesh",
     "mesh_data_axes", "pad_shard_batch", "replicate", "replicated",
     "shard_batch", "shard_tree_fsdp", "shard_tree_tp", "tp_sharding",
     "tp_shardings",

@@ -20,6 +20,7 @@ DATA_AXIS = "data"
 DCN_AXIS = "dcn"     # slow inter-host axis (data-center network)
 ICI_AXIS = "ici"     # fast intra-slice axis (inter-chip interconnect)
 MODEL_AXIS = "model"  # tensor-parallel axis (channel-sharded params)
+SPATIAL_AXIS = "sp"   # spatial-parallel axis (H-sharded activations)
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -78,12 +79,39 @@ def make_tp_mesh(model_size: int,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_sp_mesh(sp_size: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D [DATA_AXIS, SPATIAL_AXIS] mesh for spatial (context)
+    parallelism: each row is one spatial-parallel group of ``sp_size``
+    ICI-adjacent chips that share a batch shard, with activations sharded
+    along image height (``constrain_spatial`` hints in the models); rows
+    are data-parallel replicas.  Params stay replicated; GSPMD partitions
+    every conv spatially with halo exchange (collective-permute of the
+    kernel-overlap rows) and turns GN-stat reductions into psums -- the
+    conv-net analog of sequence/context parallelism (GSPMD paper §3.3;
+    scaling-book).  The reference has nothing like it (DP only,
+    SURVEY.md §2.3); this is the axis that scales *resolution*: per-chip
+    activation memory at 128px+ drops by ~sp_size where DP/FSDP can't
+    help (activations dominate, not params), and batch-1 decode latency
+    scales across chips for the conv-dominated trunk where TP's
+    channel-sharding is collective-bound."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if sp_size < 1 or n % sp_size:
+        raise ValueError(f"sp_size={sp_size} must divide the device "
+                         f"count {n}")
+    grid = np.asarray(devices).reshape(n // sp_size, sp_size)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
 def mesh_data_axes(mesh: Mesh) -> tuple:
     """The mesh axes the batch dim shards over: every axis except the
-    tensor-parallel one (hier meshes shard batches over both [dcn, ici];
-    tp meshes over DATA_AXIS only, with batches replicated across each
-    model-parallel group)."""
-    return tuple(a for a in mesh.axis_names if a != MODEL_AXIS)
+    tensor- and spatial-parallel ones (hier meshes shard batches over both
+    [dcn, ici]; tp/sp meshes over DATA_AXIS only, with batches replicated
+    across each model-/spatial-parallel group)."""
+    return tuple(a for a in mesh.axis_names
+                 if a not in (MODEL_AXIS, SPATIAL_AXIS))
 
 
 def data_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
@@ -235,6 +263,32 @@ def constrain_batch(x):
         return x
     spec = P(axes if len(axes) > 1 else axes[0],
              *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def constrain_spatial(x):
+    """Pin an NHWC activation to ``P(data_axes, SPATIAL_AXIS, None, None)``
+    under an ambient mesh that has a spatial axis; identity otherwise.
+
+    Placed at stage boundaries in the UNet/ShiftUNet/encoder so sharding
+    propagation keeps every conv spatially partitioned end to end (probe
+    evidence: GSPMD compiles the constrained fwd+bwd conv chain with halo
+    collective-permutes only -- zero all-gathers).  The hints are exact
+    no-ops in every other configuration: mesh-free single-chip use, DP /
+    FSDP / hier meshes (no SPATIAL_AXIS), and TP meshes, whose
+    channel-sharded activations must NOT be re-pinned here.  When H does
+    not divide by the sp-axis size (odd feature maps), the leaf falls back
+    to batch-only sharding rather than forcing an unsplittable layout."""
+    mesh = ambient_mesh()
+    if mesh is None or SPATIAL_AXIS not in mesh.axis_names:
+        return x
+    axes = mesh_data_axes(mesh)
+    batch_spec = (axes if len(axes) > 1 else axes[0]) if axes else None
+    sp = mesh.shape[SPATIAL_AXIS]
+    if x.ndim == 4 and x.shape[1] % sp == 0:
+        spec = P(batch_spec, SPATIAL_AXIS, None, None)
+    else:
+        spec = P(batch_spec, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, spec)
 
 

@@ -48,7 +48,11 @@ class PDAEService:
     optional ``classifier_checkpoint_path`` (manipulation), plus
     ``image_size`` / ``image_channel`` / ``max_batch``; ``tp_size: K``
     turns on tensor parallelism over the local chips (channel-sharded
-    params -- a batch of 1 uses all K devices, see parallel/mesh.py).
+    params -- a batch of 1 uses all K devices, see parallel/mesh.py);
+    ``sp_size: K`` turns on spatial parallelism instead (params
+    replicated, activations H-sharded via the models' constrain_spatial
+    hints -- a batch of 1 splits its rows across all K devices, the
+    lowest-latency layout for the conv-dominated trunk).
     """
 
     def __init__(self, config: dict):
@@ -65,11 +69,24 @@ class PDAEService:
         # every chip (lowest latency); batches shard over the remaining
         # 'data' axis.  Default (1): plain data-parallel local mesh.
         self.tp_size = int(config.get("tp_size", 1))
+        # sp_size > 1: spatial parallelism -- params replicated,
+        # activations H-sharded (the models' constrain_spatial hints see
+        # the mesh because every op traces under `with self._mesh`); a
+        # SINGLE image splits its rows across every chip.
+        self.sp_size = int(config.get("sp_size", 1))
+        if self.tp_size > 1 and self.sp_size > 1:
+            raise ValueError("tp_size and sp_size are mutually exclusive")
         if self.tp_size > 1:
             from .parallel import make_tp_mesh
             self._mesh = make_tp_mesh(self.tp_size,
                                       devices=jax.local_devices())
             self._tp_min = int(config.get("tp_min_size", 2 ** 15))
+            self.ctx.enc_params = self._place_params(self.ctx.enc_params)
+            self.ctx.dec_params = self._place_params(self.ctx.dec_params)
+        elif self.sp_size > 1:
+            from .parallel import make_sp_mesh
+            self._mesh = make_sp_mesh(self.sp_size,
+                                      devices=jax.local_devices())
             self.ctx.enc_params = self._place_params(self.ctx.enc_params)
             self.ctx.dec_params = self._place_params(self.ctx.dec_params)
         else:
@@ -107,12 +124,17 @@ class PDAEService:
     # -- helpers --------------------------------------------------------- #
 
     def _place_params(self, tree):
-        """Channel-shard a param tree over the tp mesh (no-op layout change
-        for tp_size 1 -- params stay as SamplerContext placed them)."""
-        if self.tp_size <= 1:
-            return tree
-        from .parallel import shard_tree_tp
-        return shard_tree_tp(self._mesh, tree, min_size=self._tp_min)
+        """Channel-shard a param tree over the tp mesh, or replicate it
+        over the sp mesh (activations shard there, params don't); no-op
+        layout change otherwise -- params stay as SamplerContext placed
+        them."""
+        if self.tp_size > 1:
+            from .parallel import shard_tree_tp
+            return shard_tree_tp(self._mesh, tree, min_size=self._tp_min)
+        if self.sp_size > 1:
+            from .parallel import replicate
+            return replicate(self._mesh, tree)
+        return tree
 
     def _to_model_input(self, images: np.ndarray) -> jnp.ndarray:
         """uint8 [N,H,W,C] (or float in [-1,1]) -> float32 [-1,1]."""

@@ -109,14 +109,18 @@ class BaseTrainer:
 
         # param placement: 'replicated' (reference-DDP-equivalent, default),
         # 'fsdp' (ZeRO-3: params/EMA/opt-state sharded over the data axis,
-        # all-gathered per use by GSPMD) or 'tp' (tensor parallel:
+        # all-gathered per use by GSPMD), 'tp' (tensor parallel:
         # channel-sharded params over a [data, model] mesh, activations
-        # split too) -- neither sharded mode has a reference counterpart
+        # split too) or 'sp' (spatial parallel: params replicated,
+        # activations H-sharded over a [data, sp] mesh -- GSPMD
+        # halo-exchange convs; the axis that scales *resolution*, where
+        # activation memory dominates) -- none of the sharded modes has a
+        # reference counterpart (SURVEY.md §2.3: DP only)
         self.param_sharding = self.runner_config.get(
             "param_sharding", "replicated")
-        if self.param_sharding not in ("replicated", "fsdp", "tp"):
+        if self.param_sharding not in ("replicated", "fsdp", "tp", "sp"):
             raise ValueError(f"runner_config.param_sharding must be "
-                             f"'replicated', 'fsdp' or 'tp', got "
+                             f"'replicated', 'fsdp', 'tp' or 'sp', got "
                              f"{self.param_sharding!r}")
         # mesh layout: 'auto' = hierarchical [dcn, ici] when FSDP spans
         # multiple processes with >1 local chip each (params then shard
@@ -142,6 +146,14 @@ class BaseTrainer:
             from ..parallel import make_tp_mesh
             self.mesh = make_tp_mesh(int(self.runner_config.get(
                 "tp_size", len(jax.devices()))))
+            self.fsdp_axis = None
+        elif self.param_sharding == "sp":
+            if layout == "hier":
+                raise ValueError("mesh_layout 'hier' applies to fsdp; "
+                                 "sp builds its own [data, sp] mesh")
+            from ..parallel import make_sp_mesh
+            self.mesh = make_sp_mesh(int(self.runner_config.get(
+                "sp_size", len(jax.devices()))))
             self.fsdp_axis = None
         elif layout == "hier":
             from ..parallel import ICI_AXIS, make_hier_mesh

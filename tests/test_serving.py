@@ -174,6 +174,42 @@ def test_tp_service_matches_dp(service, stack):
     assert np.max(np.abs(g_tp.astype(int) - g_ref.astype(int))) <= 1
 
 
+def test_sp_service_matches_dp(service, stack):
+    """sp_size=8: params stay replicated but a single image's ROWS split
+    across all 8 (CPU) chips through the models' constrain_spatial hints
+    (halo-exchange convs) -- the other low-latency layout, cheaper on
+    collectives than tp for the conv-dominated trunk.  Outputs must match
+    the data-parallel service."""
+    import jax
+    import pytest
+    from pdae_tpu.serving import PDAEService
+
+    sp = PDAEService(_service_config(stack, sp_size=8))
+    assert sp._mesh.axis_names == ("data", "sp")
+    # params replicated over every chip (sp shards activations only)
+    leaves = jax.tree_util.tree_leaves(sp.ctx.dec_params)
+    assert all(l.sharding.is_fully_replicated for l in leaves)
+    devs = {s.device for l in leaves for s in l.addressable_shards}
+    assert len(devs) == 8
+
+    imgs = _images(1)                    # ONE image, all chips
+    ref = service.autoencode(imgs)
+    out = sp.autoencode(imgs)
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out.astype(int) - ref.astype(int))) <= 1
+
+    z_ref = service.encode(imgs)
+    z_sp = sp.encode(imgs)
+    np.testing.assert_allclose(z_sp, z_ref, atol=1e-4)
+
+    g_ref = service.generate(2, seed=7)
+    g_sp = sp.generate(2, seed=7)
+    assert np.max(np.abs(g_sp.astype(int) - g_ref.astype(int))) <= 1
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PDAEService(_service_config(stack, sp_size=2, tp_size=2))
+
+
 def test_coalescing_batcher(service):
     """Concurrent submissions coalesce into shared device batches: results
     match the direct per-request calls, and the underlying service is
