@@ -152,6 +152,14 @@ def main():
     p.add_argument("--coalesce-ms", type=float, default=3.0,
                    help="batch-coalescing window for concurrent image "
                         "requests; 0 disables (serve under one lock)")
+    p.add_argument("--tp-size", type=int, default=None,
+                   help="tensor parallelism over the local chips "
+                        "(channel-sharded params; batch-1 low latency); "
+                        "overrides the config's tp_size")
+    p.add_argument("--sp-size", type=int, default=None,
+                   help="spatial parallelism over the local chips "
+                        "(H-sharded activations; batch-1 low latency for "
+                        "the conv trunk); overrides the config's sp_size")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -162,7 +170,12 @@ def main():
     from pdae_tpu.serving import CoalescingBatcher, PDAEService
     from pdae_tpu.utils import load_yaml
 
-    service = PDAEService(load_yaml(args.config))
+    cfg = load_yaml(args.config)
+    if args.tp_size is not None:
+        cfg["tp_size"] = args.tp_size
+    if args.sp_size is not None:
+        cfg["sp_size"] = args.sp_size
+    service = PDAEService(cfg)
     batcher = (CoalescingBatcher(service, window_ms=args.coalesce_ms)
                if args.coalesce_ms > 0 else None)
     server = ThreadingHTTPServer((args.host, args.port),
