@@ -253,7 +253,20 @@ def test_spmd_guard_catches_involuntary_remat():
         jnp.zeros((1, 16)))["params"]
     shift_params, frozen_params = split_shift_unet(dec_params)
     tx = make_optimizer({"lr": 1e-3})
-    train_step = make_representation_train_step(gd, encoder, decoder, tx)
+    base_step = make_representation_train_step(gd, encoder, decoder, tx)
+
+    # partitioner warnings are emitted only on COLD compiles -- both the
+    # in-memory jit cache and the PERSISTENT cache replay compiled
+    # artifacts silently (a cached copy of this exact program once made
+    # the raise-path vacuously fail), so salt the step with a fresh
+    # constant: it lands in the HLO as a literal and changes the cache
+    # fingerprint every run, guaranteeing a cold partition pass.
+    import os as _os
+    salt = np.float32(int.from_bytes(_os.urandom(3), "little"))
+
+    def train_step(state, frozen, batch, rng):
+        s, l = base_step(state, frozen, batch, rng)
+        return s, l + jnp.float32(salt) * 0.0
 
     mesh = make_mesh()   # flat 8-device data mesh, as in the dryrun
     repl = replicated(mesh)
