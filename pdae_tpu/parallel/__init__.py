@@ -1,7 +1,8 @@
 from .mesh import (DATA_AXIS, DCN_AXIS, ICI_AXIS, MODEL_AXIS, SPATIAL_AXIS,
                    ambient_mesh,
                    constrain_batch, constrain_spatial, data_sharding,
-                   fsdp_sharding, fsdp_shardings, local_mesh,
+                   fsdp_sharding, fsdp_shardings,
+                   fsdp_tp_sharding, fsdp_tp_shardings, local_mesh,
                    make_hier_mesh, make_mesh, make_sp_mesh, make_tp_mesh,
                    mesh_data_axes,
                    pad_shard_batch, replicate,
@@ -19,7 +20,7 @@ __all__ = [
     "ambient_mesh",
     "constrain_batch", "constrain_spatial", "data_sharding",
     "fsdp_sharding",
-    "fsdp_shardings", "local_mesh", "make_hier_mesh", "make_mesh",
+    "fsdp_shardings", "fsdp_tp_sharding", "fsdp_tp_shardings", "local_mesh", "make_hier_mesh", "make_mesh",
     "make_sp_mesh", "make_tp_mesh",
     "mesh_data_axes", "pad_shard_batch", "replicate", "replicated",
     "shard_batch", "shard_tree_fsdp", "shard_tree_tp", "tp_sharding",

@@ -219,6 +219,50 @@ def shard_tree_tp(mesh: Mesh, tree, min_size: int = 2 ** 15):
         jax.device_put, tree, tp_shardings(mesh, tree, min_size))
 
 
+def fsdp_tp_sharding(mesh: Mesh, shape,
+                     min_size: int = 2 ** 15) -> NamedSharding:
+    """Composed 2-D param sharding for a [DATA_AXIS, MODEL_AXIS] mesh:
+    the channel dim shards over MODEL_AXIS (the ``tp_sharding`` rule) AND
+    the largest *remaining* mesh-divisible dim shards over DATA_AXIS (the
+    ``fsdp_sharding`` rule) -- the standard FSDP-within-TP layout (each
+    model-parallel group holds 1/tp of the channels, and that shard is
+    further split 1/dp across the data replicas, all-gathered over
+    DATA_AXIS per use).  Falls back gracefully: a leaf the TP rule can't
+    split still gets FSDP-sharded, and vice versa; small leaves stay
+    replicated.  Composes the two memory regimes -- TP's activation/math
+    split with FSDP's param/opt-state split -- for models too big for
+    either alone.  No reference counterpart (SURVEY.md §2.3: DP only)."""
+    ndim = len(shape)
+    if int(np.prod(shape)) < min_size:
+        return NamedSharding(mesh, P())
+    spec = [None] * ndim
+    world_m = mesh.shape[MODEL_AXIS]
+    tp_dim = None
+    if ndim >= 2 and world_m > 1:
+        for i in (ndim - 1, ndim - 2):
+            if shape[i] >= world_m and shape[i] % world_m == 0:
+                tp_dim = i
+                spec[i] = MODEL_AXIS
+                break
+    world_d = mesh.shape[DATA_AXIS]
+    if world_d > 1:
+        dims = sorted((i for i in range(ndim) if i != tp_dim),
+                      key=lambda i: shape[i], reverse=True)
+        for i in dims:
+            if shape[i] >= world_d and shape[i] % world_d == 0:
+                spec[i] = DATA_AXIS
+                break
+    if all(s is None for s in spec):
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_tp_shardings(mesh: Mesh, tree, min_size: int = 2 ** 15):
+    """Per-leaf ``fsdp_tp_sharding`` pytree for a param/opt-state tree."""
+    return jax.tree_util.tree_map(
+        lambda x: fsdp_tp_sharding(mesh, np.shape(x), min_size), tree)
+
+
 def ambient_mesh() -> Optional[Mesh]:
     """The Mesh made active by an enclosing ``with mesh:`` block (visible
     during jit TRACING too -- the context is a thread-local, not a traced

@@ -114,14 +114,32 @@ class BaseTrainer:
         # split too) or 'sp' (spatial parallel: params replicated,
         # activations H-sharded over a [data, sp] mesh -- GSPMD
         # halo-exchange convs; the axis that scales *resolution*, where
-        # activation memory dominates) -- none of the sharded modes has a
-        # reference counterpart (SURVEY.md §2.3: DP only)
+        # activation memory dominates).  Composed modes 'fsdp+tp' and
+        # 'fsdp+sp' additionally shard params/EMA/opt-state over the data
+        # axis of the same 2-D mesh when both memory regimes bind (params
+        # AND activations).  None of the sharded modes has a reference
+        # counterpart (SURVEY.md §2.3: DP only)
         self.param_sharding = self.runner_config.get(
             "param_sharding", "replicated")
-        if self.param_sharding not in ("replicated", "fsdp", "tp", "sp"):
-            raise ValueError(f"runner_config.param_sharding must be "
-                             f"'replicated', 'fsdp', 'tp' or 'sp', got "
-                             f"{self.param_sharding!r}")
+        if self.param_sharding not in ("replicated", "fsdp", "tp", "sp",
+                                       "fsdp+tp", "fsdp+sp"):
+            raise ValueError(f"runner_config.param_sharding must be one of "
+                             f"'replicated', 'fsdp', 'tp', 'sp', 'fsdp+tp', "
+                             f"'fsdp+sp', got {self.param_sharding!r}")
+        # which spaces the mode shards: params (fsdp/tp in any combination)
+        # and/or activations (tp channel-wise, sp height-wise)
+        self._mode_parts = set(self.param_sharding.split("+"))
+        self._params_sharded = bool(self._mode_parts & {"fsdp", "tp"})
+        # 'full' = one msgpack file from the primary (reference-shaped;
+        # sharded modes all-gather first).  'sharded' = every process
+        # writes its own replica-0 shards, no gather
+        # (utils/sharded_checkpoint.py); load_checkpoint reads both.
+        self.checkpoint_format = self.runner_config.get(
+            "checkpoint_format", "full")
+        if self.checkpoint_format not in ("full", "sharded"):
+            raise ValueError(f"runner_config.checkpoint_format must be "
+                             f"'full' or 'sharded', got "
+                             f"{self.checkpoint_format!r}")
         # mesh layout: 'auto' = hierarchical [dcn, ici] when FSDP spans
         # multiple processes with >1 local chip each (params then shard
         # over ICI only and the per-use all-gathers never cross the slow
@@ -139,22 +157,27 @@ class BaseTrainer:
                                  and jax.process_count() > 1
                                  and len(jax.local_devices()) > 1)
                       else "flat")
-        if self.param_sharding == "tp":
+        if "tp" in self._mode_parts:
             if layout == "hier":
                 raise ValueError("mesh_layout 'hier' applies to fsdp; "
                                  "tp builds its own [data, model] mesh")
-            from ..parallel import make_tp_mesh
+            from ..parallel import DATA_AXIS, make_tp_mesh
             self.mesh = make_tp_mesh(int(self.runner_config.get(
                 "tp_size", len(jax.devices()))))
-            self.fsdp_axis = None
-        elif self.param_sharding == "sp":
+            # composed fsdp+tp additionally shards params over DATA_AXIS
+            self.fsdp_axis = (DATA_AXIS if "fsdp" in self._mode_parts
+                              else None)
+        elif "sp" in self._mode_parts:
             if layout == "hier":
                 raise ValueError("mesh_layout 'hier' applies to fsdp; "
                                  "sp builds its own [data, sp] mesh")
-            from ..parallel import make_sp_mesh
+            from ..parallel import DATA_AXIS, make_sp_mesh
             self.mesh = make_sp_mesh(int(self.runner_config.get(
                 "sp_size", len(jax.devices()))))
-            self.fsdp_axis = None
+            # composed fsdp+sp shards params over DATA_AXIS (implicitly
+            # replicated across the spatial groups, which share them)
+            self.fsdp_axis = (DATA_AXIS if "fsdp" in self._mode_parts
+                              else None)
         elif layout == "hier":
             from ..parallel import ICI_AXIS, make_hier_mesh
             self.mesh = make_hier_mesh(
@@ -220,9 +243,14 @@ class BaseTrainer:
 
     def _tree_shardings(self, tree):
         """Per-leaf NamedShardings for the current param_sharding mode
-        (fsdp / tp); None for replicated (out_shardings left to the
-        compiler, matching round-1 behavior)."""
-        if self.param_sharding == "fsdp":
+        (fsdp / tp / fsdp+tp / fsdp+sp); None when params are replicated
+        ('replicated' and pure 'sp' -- out_shardings left to the compiler,
+        matching round-1 behavior)."""
+        if self.param_sharding == "fsdp+tp":
+            from ..parallel import fsdp_tp_shardings
+            return fsdp_tp_shardings(self.mesh, tree,
+                                     min_size=self.fsdp_min_size)
+        if "fsdp" in self._mode_parts:  # 'fsdp' and 'fsdp+sp'
             from ..parallel import fsdp_shardings
             return fsdp_shardings(self.mesh, tree, axis_name=self.fsdp_axis,
                                   min_size=self.fsdp_min_size)
@@ -353,8 +381,10 @@ class BaseTrainer:
         local.  Single-process (the common case): no copy."""
         if jax.process_count() == 1:
             return tree
-        # getattr: callable unbound with minimal stubs in tests
-        if getattr(self, "param_sharding", "replicated") in ("fsdp", "tp"):
+        # getattr + mode-string parse: callable unbound with minimal
+        # stubs in tests that set only param_sharding
+        mode = getattr(self, "param_sharding", "replicated")
+        if {"fsdp", "tp"} & set(mode.split("+")):
             # leaves have non-addressable shards; all-gather to the host
             # (collective -- every process calls _eval_local in evaluate())
             from ..parallel import host_copy_tree
@@ -415,7 +445,12 @@ class BaseTrainer:
         reference blocks training for the whole torch.save
         (train_regular_diffusion.py:180-201)."""
         sd = {"step": np.asarray(step, np.int32), **self.state_dict()}
-        if self.param_sharding in ("fsdp", "tp") and jax.process_count() > 1:
+        latest = os.path.join(self.run_path, "checkpoints", "latest.ckpt")
+        paths = [latest] + ([snapshot_path(self.run_path, step)]
+                            if snapshot else [])
+        if self.checkpoint_format == "sharded":
+            return self._save_sharded(sd, paths)
+        if self._params_sharded and jax.process_count() > 1:
             # sharded leaves are not host-addressable; all-gather first
             # (collective -- save() is called from the loop on every process)
             from ..parallel import host_copy_tree
@@ -424,13 +459,48 @@ class BaseTrainer:
             return
         sd = jax.device_get(sd)
         self._join_save()
-        latest = os.path.join(self.run_path, "checkpoints", "latest.ckpt")
-        paths = [latest] + ([snapshot_path(self.run_path, step)]
-                            if snapshot else [])
 
         def _write():
             for p in paths:
                 save_checkpoint(p, sd)
+
+        import threading
+        self._save_thread = threading.Thread(target=_write, daemon=False)
+        self._save_thread.start()
+
+    def _save_sharded(self, sd, paths):
+        """Per-process sharded save (``checkpoint_format: sharded``):
+        every process writes only the slices it owns (replica-id-0
+        shards) -- NO all-gather, no full host copy, per-process IO of
+        ~1/Nth of the model (utils/sharded_checkpoint.py).  Single
+        process: shard file + manifest written by the async writer
+        thread, like the full format.  Multi-process: written
+        synchronously, because the completion barrier before the
+        primary's manifest write is a collective and collectives must
+        stay on the main thread, ordered with the train step's."""
+        from ..utils import (extract_local_shards, manifest_skeleton,
+                             write_manifest, write_shard_file)
+        local = extract_local_shards(sd)   # device pull: 1/Nth of state
+        skeleton = manifest_skeleton(sd)
+        self._join_save()
+        for p in paths:
+            if os.path.exists(p) and not os.path.isdir(p):
+                os.unlink(p)   # run previously saved the full-file format
+            os.makedirs(p, exist_ok=True)
+        if jax.process_count() > 1:
+            for p in paths:
+                write_shard_file(p, local)
+            from ..parallel import sync_global_devices
+            sync_global_devices("sharded_ckpt")
+            if is_primary():
+                for p in paths:
+                    write_manifest(p, skeleton)
+            return
+
+        def _write():
+            for p in paths:
+                write_shard_file(p, local)
+                write_manifest(p, skeleton)
 
         import threading
         self._save_thread = threading.Thread(target=_write, daemon=False)

@@ -46,7 +46,17 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Restore the raw nested dict (numpy leaves)."""
+    """Restore the raw nested dict (numpy leaves).
+
+    Dispatches on the on-disk form: a single msgpack file (the default,
+    reference-shaped) or a per-process sharded directory
+    (``checkpoint_format: sharded``, sharded_checkpoint.py) -- every
+    consumer (resume, cross-run artifact refs, converters) accepts both
+    transparently."""
+    from .sharded_checkpoint import (is_sharded_checkpoint,
+                                     load_sharded_checkpoint)
+    if is_sharded_checkpoint(path):
+        return load_sharded_checkpoint(path)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

@@ -254,6 +254,26 @@ tp, tloss = tp_step(tp, tbatch["x"])
 out["tp_loss"] = float(tloss)
 out["tp_w_still_sharded"] = not tp["w"].sharding.is_fully_replicated
 
+# --- sharded checkpoint across live processes ----------------------------- #
+# every process writes ONLY its replica-0 shards of the (globally
+# FSDP-sharded) tree -- no gather collective on the data path -- then each
+# process independently reassembles the full tree from the directory and
+# must match the host_copy_tree gather taken above
+from pdae_tpu.utils import (is_sharded_checkpoint, load_sharded_checkpoint,
+                            save_sharded_checkpoint)
+
+ckpt_dir = os.path.join(outdir, "sharded_ckpt")
+save_sharded_checkpoint(ckpt_dir, {"w": fp["w"], "meta": np.int32(5)},
+                        barrier=sync_global_devices)
+sync_global_devices("sharded_ckpt_written")   # manifest durable on primary
+out["sharded_ckpt_is_valid"] = is_sharded_checkpoint(ckpt_dir)
+raw = load_sharded_checkpoint(ckpt_dir)
+out["sharded_ckpt_shape"] = list(np.shape(raw["w"]))
+out["sharded_ckpt_sum"] = float(np.sum(raw["w"]))
+out["sharded_ckpt_meta"] = int(raw["meta"])
+out["sharded_ckpt_files"] = sorted(
+    f for f in os.listdir(ckpt_dir) if f.startswith("shard-"))
+
 sync_global_devices("done")
 
 with open(os.path.join(outdir, f"rank{proc_id}.json"), "w") as f:

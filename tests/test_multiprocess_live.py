@@ -184,3 +184,21 @@ def test_tp_across_live_processes(results):
         assert results[r]["tp_w_spec_axes"] == ["model"]
         assert results[r]["tp_w_still_sharded"] is True
         assert results[r]["tp_loss"] == pytest.approx(want_loss, rel=1e-5)
+
+
+def test_sharded_checkpoint_across_live_processes(results):
+    """Per-process sharded checkpoint with 2 live processes: each rank
+    writes only its replica-0 shards (no gather), both ranks reassemble
+    the identical full tree, and the sum matches the host_copy_tree
+    gather taken in the same run."""
+    for r in (0, 1):
+        assert results[r]["sharded_ckpt_is_valid"] is True
+        assert results[r]["sharded_ckpt_shape"] == [32, 16]
+        assert results[r]["sharded_ckpt_meta"] == 5
+        # both per-process shard files exist (each rank wrote one)
+        assert results[r]["sharded_ckpt_files"] == [
+            "shard-00000-of-00002.msgpack", "shard-00001-of-00002.msgpack"]
+        assert results[r]["sharded_ckpt_sum"] == pytest.approx(
+            results[r]["fsdp_gather_sum"], rel=1e-6)
+    assert (results[0]["sharded_ckpt_sum"]
+            == pytest.approx(results[1]["sharded_ckpt_sum"], rel=1e-6))
