@@ -187,3 +187,39 @@ def test_checkpoint_format_validation(tmp_path):
     cfg = _cfg({"checkpoint_format": "zarr"})
     with pytest.raises(ValueError, match="checkpoint_format"):
         RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "x"))
+
+
+def test_ckpt_tool_cli_roundtrip(tmp_path, capsys):
+    """scripts/ckpt_tool.py: info on both formats and a full -> sharded ->
+    full conversion that round-trips byte-identically."""
+    sys_path = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+    sys.path.insert(0, os.path.join(sys_path, "scripts"))
+    import ckpt_tool
+
+    tree = {"step": np.asarray(12, np.int32),
+            "ema_denoise_fn": {"conv": {"kernel":
+                               np.random.RandomState(0).randn(3, 3, 4, 8)
+                               .astype(np.float32)}}}
+    full = str(tmp_path / "a.ckpt")
+    save_checkpoint(full, tree)
+
+    ckpt_tool.main(["info", full])
+    out = capsys.readouterr().out
+    assert "format: full" in out and "step: 12" in out
+    assert "ema_denoise_fn" in out and "288 params" in out
+
+    sharded = str(tmp_path / "a.sharded")
+    ckpt_tool.main(["to-sharded", full, sharded])
+    assert is_sharded_checkpoint(sharded)
+    ckpt_tool.main(["info", sharded])
+    assert "format: sharded" in capsys.readouterr().out
+
+    back = str(tmp_path / "b.ckpt")
+    ckpt_tool.main(["to-full", sharded, back])
+    _assert_tree_equal(load_checkpoint(full), load_checkpoint(back))
+
+    with pytest.raises(SystemExit):
+        ckpt_tool.main(["to-full", full, back])       # not a sharded dir
+    with pytest.raises(SystemExit):
+        ckpt_tool.main(["to-sharded", sharded, back])  # already a dir
