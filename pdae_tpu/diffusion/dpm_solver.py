@@ -105,11 +105,25 @@ def _grid_indices(abar: np.ndarray, n: int, spacing: str) -> np.ndarray:
 
 
 def make_solver_tables(schedule_alphas_cumprod, style: str,
-                       spacing: str = "lambda") -> SolverTables:
-    """Build the DPM-Solver++ step tables for ``style`` = ``"dpm<N>"``."""
+                       spacing: str = "lambda",
+                       direction: str = "decode") -> SolverTables:
+    """Build the DPM-Solver++ step tables for ``style`` = ``"dpm<N>"``.
+
+    ``direction="encode"`` reverses the grid (x_0 level first): the
+    exact-in-x0 update
+        x_t = (sigma_t/sigma_s) x_s + (alpha_t - sigma_t alpha_s/sigma_s) x0
+    is direction-agnostic (it is the exact PF-ODE flow under locally
+    constant x0-prediction, for h of either sign), and the multistep
+    correction coefficient 0.5*h_k/h_{k-1} is sign-invariant — so the
+    same scan body integrates the inversion, giving fast DDIM-inversion
+    (the reference's encode loops are first-order only,
+    /root/reference/diffusion/ddim.py:81-88,140-147)."""
+    assert direction in ("decode", "encode"), direction
     n = solver_steps_from_style(style)
     abar_full = np.asarray(schedule_alphas_cumprod, dtype=np.float64)
     idx = _grid_indices(abar_full, n, spacing)     # descending, len m+1
+    if direction == "encode":
+        idx = idx[::-1].copy()                     # ascending: x_0 first
     abar = abar_full[idx]
     alpha = np.sqrt(abar)
     sigma = np.sqrt(1.0 - abar)
@@ -201,6 +215,39 @@ def shift_dpm_solver_sample_loop(tables: SolverTables, decoder: Callable, z,
         return jnp.where(use_shift, shifted, eps)
 
     return _solver_scan(tables, eps_fn, x_T, order)
+
+
+def dpm_solver_encode_loop(tables: SolverTables, denoise_fn: Callable, x_0,
+                           condition=None, order: int = 2):
+    """DPM-Solver++ encoding x_0 -> x_T (fast DDIM inversion).
+
+    ``tables`` must be built with ``direction="encode"``.  Drop-in fast
+    alternative to ``ddim_encode_loop`` (order=1 on ``spacing="t"``
+    reproduces it exactly; the per-step update is the same exact-in-x0
+    map, see make_solver_tables)."""
+    batch = x_0.shape[0]
+
+    def eps_fn(x, k):
+        t = jnp.full((batch,), 0, jnp.int32) + tables.t_model[k]
+        return denoise_fn(x, t, condition)
+
+    return _solver_scan(tables, eps_fn, x_0, order)
+
+
+def shift_dpm_solver_encode_loop(tables: SolverTables, decoder: Callable, z,
+                                 x_0, order: int = 2):
+    """PDAE shift encode with DPM-Solver++ (fast inversion for
+    autoencoding).  The shift is applied at every step, mirroring
+    shift_ddim_encode_loop (reference ddim.py:140-147: use_shift=True
+    unconditionally on the encode path)."""
+    batch = x_0.shape[0]
+
+    def eps_fn(x, k):
+        t = jnp.full((batch,), 0, jnp.int32) + tables.t_model[k]
+        eps, gradient = decoder(x, t, z)
+        return eps - _bcast(tables.sigma_s[k], x.ndim) * gradient
+
+    return _solver_scan(tables, eps_fn, x_0, order)
 
 
 def latent_dpm_solver_sample_loop(tables: SolverTables,

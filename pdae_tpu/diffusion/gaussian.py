@@ -131,20 +131,22 @@ class GaussianDiffusion:
     def latent_ddim_schedule(self, ddim_style: str) -> DDIMSchedule:
         return make_ddim_schedule(self.latent_schedule.alphas_cumprod, ddim_style)
 
-    # Decode ("sample") styles accept an extended vocabulary beyond the
-    # reference: "ddim<N>" runs the reference-parity DDIM loop, "dpm<N>"
-    # runs DPM-Solver++(2M) over the same re-spaced grid (dpm_solver.py) --
-    # ~5x fewer NFE for DDIM-100-class trajectories.  Encoding styles remain
-    # DDIM-only (inversion has no multistep formulation here).
+    # Both decode ("sample") AND encode (inversion) styles accept an
+    # extended vocabulary beyond the reference: "ddim<N>" runs the
+    # reference-parity DDIM loop, "dpm<N>" runs DPM-Solver++(2M) over a
+    # lambda-uniform grid (dpm_solver.py) -- ~5x fewer NFE for
+    # DDIM-100-class trajectories; the encode direction reuses the same
+    # exact-in-x0 update on the reversed grid (fast DDIM inversion).
 
     @staticmethod
     def _is_solver_style(style: str) -> bool:
         return style.startswith("dpm")
 
-    def solver_tables(self, style: str,
-                      spacing: str = "lambda") -> dpm_lib.SolverTables:
+    def solver_tables(self, style: str, spacing: str = "lambda",
+                      direction: str = "decode") -> dpm_lib.SolverTables:
         return dpm_lib.make_solver_tables(self.schedule.alphas_cumprod, style,
-                                          spacing=spacing)
+                                          spacing=spacing,
+                                          direction=direction)
 
     def latent_solver_tables(self, style: str,
                              spacing: str = "lambda") -> dpm_lib.SolverTables:
@@ -159,6 +161,10 @@ class GaussianDiffusion:
             self.ddim_schedule(ddim_style), denoise_fn, x_T, condition)
 
     def ddim_encode(self, ddim_style, denoise_fn, x_0, condition=None):
+        if self._is_solver_style(ddim_style):
+            return dpm_lib.dpm_solver_encode_loop(
+                self.solver_tables(ddim_style, direction="encode"),
+                denoise_fn, x_0, condition)
         return ddim_lib.ddim_encode_loop(
             self.ddim_schedule(ddim_style), denoise_fn, x_0, condition)
 
@@ -280,6 +286,10 @@ class GaussianDiffusion:
                                             x_0, z=None):
         if z is None:
             z = encoder(x_0)
+        if self._is_solver_style(ddim_style):
+            return dpm_lib.shift_dpm_solver_encode_loop(
+                self.solver_tables(ddim_style, direction="encode"),
+                decoder, z, x_0)
         return ddim_lib.shift_ddim_encode_loop(
             self.ddim_schedule(ddim_style), decoder, z, x_0)
 

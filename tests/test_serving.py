@@ -375,6 +375,10 @@ def test_autoencode_and_generate_accept_dpm_styles(service):
     recon = service.autoencode(imgs, encode_style="ddim5",
                                decode_style="dpm5")
     assert recon.shape == (2, 16, 16, 1) and recon.dtype == np.uint8
+    # fast-ENCODE (inversion) styles dispatch too (round 3)
+    recon = service.autoencode(imgs, encode_style="dpm5",
+                               decode_style="dpm5")
+    assert recon.shape == (2, 16, 16, 1) and recon.dtype == np.uint8
     a = service.generate(2, seed=7, latent_style="dpm5", decode_style="dpm5")
     b = service.generate(2, seed=7, latent_style="dpm5", decode_style="dpm5")
     assert a.shape == (2, 16, 16, 1)
