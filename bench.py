@@ -408,6 +408,51 @@ def main():
                                         best128["batch"], reps,
                                         solver_steps=args.dpm_steps)
 
+    # fast AUTOENCODE: dpm<N> encode (inversion on the reversed lambda
+    # grid) + dpm<N> decode through the same ShiftUNet -- the
+    # autoencoding_eval pattern (reference: ddim1000 encode + ddim100
+    # decode = 1100 chained evals) at 2N evals.  The semantic-encoder
+    # forward (~1 extra eval) is omitted, consistent with the decode
+    # points above.
+    ae_point = None
+    if args.dpm_steps:
+        n_ae = args.dpm_steps
+        enc_tables = gd.solver_tables(f"dpm{n_ae}", direction="encode")
+        dec_tables = gd.solver_tables(f"dpm{n_ae}")
+        model, params, x, t, z = build(CELEBA64_DPM, 512, 64,
+                                       best64["batch"])
+
+        @jax.jit
+        def ae_fused(p, x_0, zz):
+            dec = lambda xx, tt, zz_: model.apply({"params": p}, xx, tt, zz_)
+            x_T = dpm_lib.shift_dpm_solver_encode_loop(enc_tables, dec, zz,
+                                                       x_0)
+            return dpm_lib.shift_dpm_solver_sample_loop(dec_tables, dec, zz,
+                                                        x_T)
+
+        key = jax.random.PRNGKey(0)
+        x_0 = jnp.tanh(jax.random.normal(key, x.shape))
+        zz = jax.random.normal(key, z.shape)
+        jax.block_until_ready(ae_fused(params, x_0, zz))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = ae_fused(params, x_0, zz)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        n_evals = int(enc_tables.num_steps) + int(dec_tables.num_steps)
+        # the reference-pattern rate is DERIVED from the measured DDIM
+        # evals/s (1100 chained evals), not separately timed
+        ref_pattern = round(best64["denoise_steps_per_sec"] / 1100.0, 3)
+        ae_point = {
+            "batch": best64["batch"],
+            "imgs_per_sec": round(best64["batch"] / dt, 3),
+            "evals": n_evals,
+            "ddim_pattern_imgs_per_sec_derived": ref_pattern,
+            "speedup_vs_ddim_pattern": round(
+                best64["batch"] / dt / ref_pattern, 1) if ref_pattern
+            else None,
+        }
+
     strip = lambda r: {k: v for k, v in r.items()
                        if k not in ("model", "params", "x_T", "z", "fused")}
     result = {
@@ -436,6 +481,7 @@ def main():
         f"latency_b1_ms_dpm{args.dpm_steps}_64px": dpm_latency_b1_ms,
         f"dpm{args.dpm_steps}_128px": (strip(dpm_point128) if dpm_point128
                                        else None),
+        f"autoencode_dpm{args.dpm_steps}_64px": ae_point,
     }
 
     if args.trace:

@@ -304,6 +304,14 @@ def test_samplers_accept_dpm_solver_styles(stack, tmp_path):
     results = SAMPLERS["autoencoding_eval"](cfg).start()
     assert 0.0 <= results["ssim"] <= 1.0
 
+    # fast ENCODE too: both legs on the solver (the
+    # autoencoding_eval_fast.yml pattern -- 1100 NFE -> 2N)
+    cfg = _pdae_sampler_config(
+        stack, encoder_ddim_style="dpm5", decoder_ddim_style="dpm5",
+        batch_size=8, max_samples=8)
+    results = SAMPLERS["autoencoding_eval"](cfg).start()
+    assert 0.0 <= results["ssim"] <= 1.0
+
     cfg = _pdae_sampler_config(
         stack,
         latent_config_path=stack["latent_cfg"],
