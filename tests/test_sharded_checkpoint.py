@@ -223,3 +223,21 @@ def test_ckpt_tool_cli_roundtrip(tmp_path, capsys):
         ckpt_tool.main(["to-full", full, back])       # not a sharded dir
     with pytest.raises(SystemExit):
         ckpt_tool.main(["to-sharded", sharded, back])  # already a dir
+
+
+def test_trainer_sharded_format_composed_mode(tmp_path):
+    """The sharded format composes with the 2-D fsdp+tp placement: leaves
+    sharded over both axes save piecewise and restore exactly."""
+    run = str(tmp_path / "run")
+    cfg = _cfg({"checkpoint_format": "sharded", "param_sharding": "fsdp+tp",
+                "tp_size": 2, "fsdp_min_size": 256})
+    tr = RegularDiffusionTrainer(config=cfg, run_path=run)
+    tr.train(max_steps=3)
+    tr._join_save()
+    latest = os.path.join(run, "checkpoints", "latest.ckpt")
+    assert is_sharded_checkpoint(latest)
+    tr2 = RegularDiffusionTrainer(config=cfg, run_path=run, resume="latest")
+    assert tr2.start_step == 3
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
