@@ -388,3 +388,19 @@ def test_autoencode_and_generate_accept_dpm_styles(service):
     # eps ~= 0 and every sampler's update telescopes to x * alpha_bot/alpha_top
     # independent of grid/order.  That the style string reaches the solver
     # is pinned by tests/test_dpm_solver.py::test_gaussian_diffusion_style_dispatch.
+
+
+def test_bench_serving_cli_smoke(capsys):
+    """scripts/bench_serving.py end to end at the tiny geometry: both
+    coalesce settings produce a JSON report and the batcher really
+    merges (service_calls <= requests)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import bench_serving
+    bench_serving.main(["--geometry", "tiny", "--threads", "2",
+                        "--requests", "1", "--style", "dpm5",
+                        "--coalesce_ms", "0,3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["settings"]) == 2
+    direct, coalesced = out["settings"]
+    assert direct["qps"] > 0 and coalesced["qps"] > 0
+    assert coalesced["service_calls"] <= coalesced["requests"] == 2
