@@ -449,7 +449,7 @@ class BaseTrainer:
         paths = [latest] + ([snapshot_path(self.run_path, step)]
                             if snapshot else [])
         if self.checkpoint_format == "sharded":
-            return self._save_sharded(sd, paths)
+            return self._save_sharded(sd, paths, step)
         if self._params_sharded and jax.process_count() > 1:
             # sharded leaves are not host-addressable; all-gather first
             # (collective -- save() is called from the loop on every process)
@@ -459,58 +459,100 @@ class BaseTrainer:
             return
         sd = jax.device_get(sd)
         self._join_save()
+        for p in paths:
+            if os.path.isdir(p):
+                # this run previously saved the sharded format here;
+                # replace the directory (refuse to delete anything that
+                # is not a recognizable checkpoint of ours)
+                from ..utils import is_sharded_checkpoint
+                if not is_sharded_checkpoint(p):
+                    raise ValueError(
+                        f"checkpoint target {p} is a directory but not a "
+                        f"sharded checkpoint; refusing to overwrite")
+                import shutil
+                shutil.rmtree(p)
 
         def _write():
             for p in paths:
                 save_checkpoint(p, sd)
 
+        self._spawn_save(_write)
+
+    def _spawn_save(self, fn):
+        """Run the checkpoint write in a background thread, capturing any
+        exception so the next ``_join_save`` re-raises it -- a save that
+        silently never lands must not look like a healthy run."""
         import threading
-        self._save_thread = threading.Thread(target=_write, daemon=False)
+
+        def runner():
+            try:
+                fn()
+            except BaseException as e:   # re-raised on join
+                self._save_error = e
+
+        self._save_error = None
+        self._save_thread = threading.Thread(target=runner, daemon=False)
         self._save_thread.start()
 
-    def _save_sharded(self, sd, paths):
+    def _save_sharded(self, sd, paths, step):
         """Per-process sharded save (``checkpoint_format: sharded``):
         every process writes only the slices it owns (replica-id-0
         shards) -- NO all-gather, no full host copy, per-process IO of
-        ~1/Nth of the model (utils/sharded_checkpoint.py).  Single
-        process: shard file + manifest written by the async writer
-        thread, like the full format.  Multi-process: written
-        synchronously, because the completion barrier before the
-        primary's manifest write is a collective and collectives must
-        stay on the main thread, ordered with the train step's."""
+        ~1/Nth of the model (utils/sharded_checkpoint.py).  Shard files
+        are step-tagged and the manifest (written last) lists this
+        save's exact file set, so an in-place re-save of latest.ckpt is
+        crash-consistent: at any interruption point the directory's
+        manifest references one complete save.  Single process: written
+        by the async writer thread, like the full format.
+        Multi-process: written synchronously, because the completion
+        barrier before the primary's manifest write is a collective and
+        collectives must stay on the main thread, ordered with the
+        train step's."""
         from ..utils import (extract_local_shards, manifest_skeleton,
                              write_manifest, write_shard_file)
+        from ..utils.sharded_checkpoint import cleanup_stale_shards
+        tag = str(int(step))
         local = extract_local_shards(sd)   # device pull: 1/Nth of state
         skeleton = manifest_skeleton(sd)
         self._join_save()
         for p in paths:
-            if os.path.exists(p) and not os.path.isdir(p):
-                os.unlink(p)   # run previously saved the full-file format
+            try:     # run previously saved the full-file format; every
+                # process races on the shared dir -- losing the race is
+                # fine, someone removed it
+                if not os.path.isdir(p):
+                    os.unlink(p)
+            except FileNotFoundError:
+                pass
             os.makedirs(p, exist_ok=True)
         if jax.process_count() > 1:
             for p in paths:
-                write_shard_file(p, local)
+                write_shard_file(p, local, tag)
             from ..parallel import sync_global_devices
             sync_global_devices("sharded_ckpt")
             if is_primary():
                 for p in paths:
-                    write_manifest(p, skeleton)
+                    write_manifest(p, skeleton, tag)
+                    cleanup_stale_shards(p)
             return
 
         def _write():
             for p in paths:
-                write_shard_file(p, local)
-                write_manifest(p, skeleton)
+                write_shard_file(p, local, tag)
+                write_manifest(p, skeleton, tag)
+                cleanup_stale_shards(p)
 
-        import threading
-        self._save_thread = threading.Thread(target=_write, daemon=False)
-        self._save_thread.start()
+        self._spawn_save(_write)
 
     def _join_save(self):
         t = getattr(self, "_save_thread", None)
         if t is not None:
             t.join()
             self._save_thread = None
+            err = getattr(self, "_save_error", None)
+            if err is not None:
+                self._save_error = None
+                raise RuntimeError("background checkpoint write failed") \
+                    from err
 
     # -- loop ------------------------------------------------------------ #
 

@@ -15,7 +15,6 @@ Cadence helpers mirror ``latest.pt`` every N steps + immutable
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Any, Dict, Optional
 
 import jax
@@ -32,17 +31,9 @@ def _to_numpy_tree(tree):
 
 def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     """Atomically write a dict of pytrees (values may be scalars/arrays)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    from .sharded_checkpoint import _atomic_write   # shared tmp+rename
     payload = serialization.msgpack_serialize(_to_numpy_tree(state))
-    d = os.path.dirname(os.path.abspath(path))
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    _atomic_write(path, payload)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

@@ -14,17 +14,23 @@ the data path at all; a small manifest records the global structure.
 Layout (a directory, not a file)::
 
     ckpt.sharded/
-      manifest.msgpack              # tree skeleton: {shape, dtype} leaves
-      shard-00003-of-00008.msgpack  # process 3's slices, keyed by path
+      manifest.msgpack                # {shape,dtype} skeleton + the exact
+                                      #   shard file list of THIS save
+      shard-<tag>-00003-of-00008.msgpack  # process 3's slices, keyed by
+                                      #   path; tag = step for trainers
 
 De-duplication uses the device-level ``replica_id``: for every distinct
 shard index of every leaf exactly one device in the whole system has
 ``replica_id == 0``, so each byte of the model is written exactly once
 globally -- replicated leaves land in exactly one process's file,
 FSDP/TP-split leaves land piecewise where they live.  Every file write
-is atomic (tmp+rename) and the manifest is written LAST by the primary
-after a cross-process barrier, so a readable manifest implies a complete
-checkpoint.  ``load_sharded_checkpoint`` reassembles the full numpy tree
+is atomic (tmp+rename), shard filenames carry a per-save tag, and the
+manifest -- written LAST by the primary after a cross-process barrier --
+lists that save's exact file set.  In-place re-saves (latest.ckpt) are
+therefore crash-consistent: until the new manifest lands the directory
+loads the previous complete save; afterwards stale files are ignored by
+the loader and garbage-collected (``cleanup_stale_shards``).
+``load_sharded_checkpoint`` reassembles the full numpy tree
 from any filesystem view of the directory (the same shared-run-dir
 assumption the reference's torchrun scripts make) and verifies slice
 coverage, so truncated/partial directories fail loudly.
@@ -117,8 +123,15 @@ def _local_pieces(leaf):
     return []
 
 
-def shard_filename(process_index: int, process_count: int) -> str:
-    return f"shard-{process_index:05d}-of-{process_count:05d}.msgpack"
+def shard_filename(process_index: int, process_count: int,
+                   tag: str = "0") -> str:
+    """``tag`` distinguishes saves that share a directory (trainers pass
+    the step): re-saving latest.ckpt in place writes NEW filenames next
+    to the old ones, the manifest (written last) lists exactly the new
+    set, and only then are stale files deleted -- so a crash at any
+    point leaves a directory whose manifest references one complete,
+    self-consistent save (old or new), never a torn mix."""
+    return f"shard-{tag}-{process_index:05d}-of-{process_count:05d}.msgpack"
 
 
 def extract_local_shards(state: Dict[str, Any]) -> Dict[str, Any]:
@@ -132,9 +145,10 @@ def extract_local_shards(state: Dict[str, Any]) -> Dict[str, Any]:
             if not isinstance(leaf, dict)}
 
 
-def write_shard_file(dir_path: str, local_shards: Dict[str, Any]) -> str:
+def write_shard_file(dir_path: str, local_shards: Dict[str, Any],
+                     tag: str = "0") -> str:
     """Atomically write this process's shard file; returns its path."""
-    name = shard_filename(jax.process_index(), jax.process_count())
+    name = shard_filename(jax.process_index(), jax.process_count(), tag)
     path = os.path.join(dir_path, name)
     payload = serialization.msgpack_serialize(
         {p: {str(i): piece for i, piece in enumerate(pieces)}
@@ -154,29 +168,55 @@ def manifest_skeleton(state: Dict[str, Any]) -> Dict[str, Any]:
             for p, l in flat.items()}
 
 
-def write_manifest(dir_path: str, skeleton: Dict[str, Any]) -> str:
+def write_manifest(dir_path: str, skeleton: Dict[str, Any],
+                   tag: str = "0") -> str:
     """Write the manifest from ``manifest_skeleton``'s output.
 
-    Call from the PRIMARY only, after every process's shard file is
-    durable (barrier first in multi-process runs)."""
+    Lists the exact shard filenames of THIS save (deterministic from
+    world size + tag); the loader reads only those, so stale files from
+    earlier saves or a different world size are ignored.  Call from the
+    PRIMARY only, after every process's shard file is durable (barrier
+    first in multi-process runs)."""
+    world = jax.process_count()
+    files = [shard_filename(i, world, tag) for i in range(world)]
     payload = serialization.msgpack_serialize(
-        {"world": jax.process_count(), "leaves": skeleton})
+        {"world": world, "files": {str(i): f for i, f in enumerate(files)},
+         "leaves": skeleton})
     path = os.path.join(dir_path, _MANIFEST)
     _atomic_write(path, payload)
     return path
 
 
+def cleanup_stale_shards(dir_path: str) -> None:
+    """Delete shard files the manifest does not reference (leftovers from
+    an earlier in-place save or a different world size).  Safe any time
+    AFTER the manifest is durable; call from one process only."""
+    with open(os.path.join(dir_path, _MANIFEST), "rb") as f:
+        manifest = serialization.msgpack_restore(f.read())
+    keep = set(manifest.get("files", {}).values())
+    if not keep:      # legacy manifest without a file list: keep all
+        return
+    for fname in glob.glob(os.path.join(dir_path, "shard-*.msgpack")):
+        if os.path.basename(fname) not in keep:
+            try:
+                os.unlink(fname)
+            except FileNotFoundError:
+                pass
+
+
 def save_sharded_checkpoint(dir_path: str, state: Dict[str, Any],
-                            barrier=None) -> None:
+                            barrier=None, tag: str = "0") -> None:
     """One-call save: every process writes its shard file; the primary
     writes the manifest after ``barrier()`` (pass
-    ``parallel.sync_global_devices`` in multi-process runs)."""
+    ``parallel.sync_global_devices`` in multi-process runs) and then
+    deletes shard files from earlier saves of the same directory."""
     os.makedirs(dir_path, exist_ok=True)
-    write_shard_file(dir_path, extract_local_shards(state))
+    write_shard_file(dir_path, extract_local_shards(state), tag)
     if barrier is not None:
         barrier("sharded_ckpt")
     if jax.process_index() == 0:
-        write_manifest(dir_path, manifest_skeleton(state))
+        write_manifest(dir_path, manifest_skeleton(state), tag)
+        cleanup_stale_shards(dir_path)
 
 
 def is_sharded_checkpoint(path: str) -> bool:
@@ -201,8 +241,20 @@ def load_sharded_checkpoint(dir_path: str) -> Dict[str, Any]:
         shape = tuple(int(s) for s in desc["shape"])
         leaves[path] = np.zeros(shape, _resolve_dtype(desc["dtype"]))
         seen[path] = set()
-    shard_files = sorted(
-        glob.glob(os.path.join(dir_path, "shard-*.msgpack")))
+    listed = manifest.get("files", {})
+    if listed:
+        # the manifest names this save's exact file set; stale files from
+        # earlier in-place saves / other world sizes are ignored
+        shard_files = [os.path.join(dir_path, f)
+                       for f in sorted(listed.values())]
+        missing = [f for f in shard_files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"manifest lists shard files missing on disk: "
+                f"{[os.path.basename(m) for m in missing]}")
+    else:   # legacy directory without a file list
+        shard_files = sorted(
+            glob.glob(os.path.join(dir_path, "shard-*.msgpack")))
     if not shard_files:
         raise FileNotFoundError(f"no shard files in {dir_path}")
     for fname in shard_files:

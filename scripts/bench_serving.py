@@ -150,9 +150,13 @@ def main(argv=None):
         # cold compile inside the measured window would be charged to
         # latency
         b = 1
-        while b <= args.threads:
+        while b < args.threads:
             service.autoencode(np.zeros((b, size, size, chans), np.uint8))
             b *= 2
+        # the cap bucket: group sizes above the last power of two map to
+        # min(next_pow2, max_batch) == threads (non-power-of-two counts)
+        service.autoencode(
+            np.zeros((args.threads, size, size, chans), np.uint8))
 
         results = {"geometry": args.geometry, "style": args.style,
                    "threads": args.threads,
@@ -175,7 +179,10 @@ def main(argv=None):
                 "coalesce_ms": win,
                 "qps": round(n_req / wall, 2),
                 "p50_ms": round(lats_ms[n_req // 2], 1),
-                "p95_ms": round(lats_ms[int(n_req * 0.95) - 1], 1),
+                # nearest-rank percentile: ceil(q*n)-1 (int(q*n)-1 is
+                # biased low -- at n=2 it reported the MINIMUM as p95)
+                "p95_ms": round(
+                    lats_ms[max(0, -(-n_req * 95 // 100) - 1)], 1),
                 "wall_s": round(wall, 2),
             }
             if batcher:

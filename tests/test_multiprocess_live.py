@@ -195,9 +195,11 @@ def test_sharded_checkpoint_across_live_processes(results):
         assert results[r]["sharded_ckpt_is_valid"] is True
         assert results[r]["sharded_ckpt_shape"] == [32, 16]
         assert results[r]["sharded_ckpt_meta"] == 5
-        # both per-process shard files exist (each rank wrote one)
+        # both per-process shard files exist (each rank wrote one;
+        # default tag "0")
         assert results[r]["sharded_ckpt_files"] == [
-            "shard-00000-of-00002.msgpack", "shard-00001-of-00002.msgpack"]
+            "shard-0-00000-of-00002.msgpack",
+            "shard-0-00001-of-00002.msgpack"]
         assert results[r]["sharded_ckpt_sum"] == pytest.approx(
             results[r]["fsdp_gather_sum"], rel=1e-6)
     assert (results[0]["sharded_ckpt_sum"]

@@ -241,3 +241,86 @@ def test_trainer_sharded_format_composed_mode(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
                     jax.tree_util.tree_leaves(tr2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_in_place_resave_is_crash_consistent(tmp_path):
+    """Re-saving a directory writes step-tagged files and the manifest
+    (written last) lists exactly the new set -- so a 'crash' between the
+    new shard files landing and the new manifest landing leaves a
+    directory that loads the OLD state, and after the manifest lands
+    stale files are both ignored and cleaned up."""
+    from pdae_tpu.utils.sharded_checkpoint import (cleanup_stale_shards,
+                                                   extract_local_shards,
+                                                   manifest_skeleton,
+                                                   write_manifest,
+                                                   write_shard_file)
+    d = str(tmp_path / "ckpt")
+    old = {"w": np.full((8, 8), 1.0, np.float32)}
+    save_sharded_checkpoint(d, old, tag="100")
+    np.testing.assert_array_equal(load_sharded_checkpoint(d)["w"], old["w"])
+
+    # torn save: the step-200 shard file lands, manifest write never does
+    new = {"w": np.full((8, 8), 2.0, np.float32)}
+    write_shard_file(d, extract_local_shards(new), tag="200")
+    assert len(glob.glob(os.path.join(d, "shard-*.msgpack"))) == 2
+    np.testing.assert_array_equal(        # still the OLD complete save
+        load_sharded_checkpoint(d)["w"], old["w"])
+
+    # manifest lands -> new save visible; cleanup removes the stale file
+    write_manifest(d, manifest_skeleton(new), tag="200")
+    np.testing.assert_array_equal(load_sharded_checkpoint(d)["w"], new["w"])
+    cleanup_stale_shards(d)
+    files = glob.glob(os.path.join(d, "shard-*.msgpack"))
+    assert [os.path.basename(f) for f in files] == \
+        ["shard-200-00000-of-00001.msgpack"]
+    np.testing.assert_array_equal(load_sharded_checkpoint(d)["w"], new["w"])
+
+
+def test_manifest_missing_listed_file_fails(tmp_path):
+    d = str(tmp_path / "ckpt")
+    save_sharded_checkpoint(d, {"w": np.ones((4, 4), np.float32)})
+    [f] = glob.glob(os.path.join(d, "shard-*.msgpack"))
+    os.unlink(f)
+    with pytest.raises(FileNotFoundError, match="missing on disk"):
+        load_sharded_checkpoint(d)
+
+
+def test_format_switch_back_to_full(tmp_path):
+    """sharded -> full: the stale directory is replaced by the file and
+    resume keeps working (previously the background writer died silently
+    on os.replace-onto-a-directory and NO checkpoint was ever written)."""
+    run = str(tmp_path / "run")
+    cfg_sh = _cfg({"checkpoint_format": "sharded"})
+    tr = RegularDiffusionTrainer(config=cfg_sh, run_path=run)
+    tr.train(max_steps=2)
+    tr._join_save()
+    latest = os.path.join(run, "checkpoints", "latest.ckpt")
+    assert os.path.isdir(latest)
+
+    cfg_full = _cfg({})
+    tr2 = RegularDiffusionTrainer(config=cfg_full, run_path=run,
+                                  resume="latest")
+    assert tr2.start_step == 2
+    tr2.train(max_steps=4)
+    tr2._join_save()
+    assert os.path.isfile(latest)
+    tr3 = RegularDiffusionTrainer(config=cfg_full, run_path=run,
+                                  resume="latest")
+    assert tr3.start_step == 4
+
+
+def test_join_save_reraises_writer_failure(tmp_path):
+    """A background checkpoint write that fails must surface at the next
+    join, not vanish into the thread."""
+    run = str(tmp_path / "run")
+    tr = RegularDiffusionTrainer(config=copy.deepcopy(TINY_CONFIG),
+                                 run_path=run)
+
+    def boom():
+        raise OSError("disk full")
+
+    tr._spawn_save(boom)
+    with pytest.raises(RuntimeError, match="checkpoint write failed"):
+        tr._join_save()
+    # the error is consumed; a later join is clean
+    tr._join_save()
