@@ -254,6 +254,34 @@ tp, tloss = tp_step(tp, tbatch["x"])
 out["tp_loss"] = float(tloss)
 out["tp_w_still_sharded"] = not tp["w"].sharding.is_fully_replicated
 
+# --- composed fsdp+tp across live processes ------------------------------- #
+# the 2-D layout live: [data:2, model:4] mesh spanning both processes;
+# each leaf channel-shards over 'model' AND row-shards over 'data'
+# (fsdp_tp_shardings), so no single process holds a full copy of any
+# large leaf; a donated jitted step keeps the 2-D sharding
+from pdae_tpu.parallel import fsdp_tp_shardings
+
+ftp = {"w": jnp.asarray(np.random.RandomState(3).randn(32, DIM)
+                        .astype(np.float32))}
+ftsh = fsdp_tp_shardings(tmesh, ftp, min_size=64)
+ftp = jax.tree_util.tree_map(jax.device_put, ftp, ftsh)
+ft_axes = sorted({a for e in ftp["w"].sharding.spec if e
+                  for a in ((e,) if isinstance(e, str) else tuple(e))})
+out["fsdp_tp_w_spec_axes"] = ft_axes
+
+
+@partial(jax.jit, donate_argnums=0, out_shardings=(ftsh, None))
+def ftp_step(p, x):
+    loss = jnp.mean((x @ p["w"].T) ** 2)
+    return jax.tree_util.tree_map(lambda a: a * 0.5, p), loss
+
+
+ftp, ftloss = ftp_step(ftp, tbatch["x"])
+out["fsdp_tp_loss"] = float(ftloss)
+out["fsdp_tp_still_2d"] = sorted(
+    {a for e in ftp["w"].sharding.spec if e
+     for a in ((e,) if isinstance(e, str) else tuple(e))}) == ft_axes
+
 # --- sharded checkpoint across live processes ----------------------------- #
 # every process writes ONLY its replica-0 shards of the (globally
 # FSDP-sharded) tree -- no gather collective on the data path -- then each

@@ -204,3 +204,18 @@ def test_sharded_checkpoint_across_live_processes(results):
             results[r]["fsdp_gather_sum"], rel=1e-6)
     assert (results[0]["sharded_ckpt_sum"]
             == pytest.approx(results[1]["sharded_ckpt_sum"], rel=1e-6))
+
+
+def test_fsdp_tp_across_live_processes(results):
+    """Composed 2-D placement live: leaves shard over BOTH mesh axes
+    across the two processes, the sharding survives a donated step, and
+    the loss matches the replicated math."""
+    want_loss = float(np.mean((np.concatenate(
+        [np.random.RandomState(100 + r).randn(8, 16).astype(np.float32)
+         for r in range(2)])
+        @ np.random.RandomState(3).randn(32, 16).astype(np.float32).T) ** 2))
+    for r in (0, 1):
+        assert results[r]["fsdp_tp_w_spec_axes"] == ["data", "model"]
+        assert results[r]["fsdp_tp_still_2d"] is True
+        assert results[r]["fsdp_tp_loss"] == pytest.approx(want_loss,
+                                                           rel=1e-5)
