@@ -42,7 +42,12 @@ def build_service(geometry: str, style: str, max_batch: int, workdir: str):
     import jax
     import jax.numpy as jnp
 
-    from pdae_tpu.models import build_decoder, build_encoder
+    # build the synthetic weights through the SAME factory objects the
+    # service's SamplerContext will call, so the saved params always
+    # match the service's templates (the test suite monkeypatches
+    # context.build_encoder for its tiny stacks)
+    import pdae_tpu.sampling.context as ctx_mod
+    build_decoder, build_encoder = ctx_mod.build_decoder, ctx_mod.build_encoder
     from pdae_tpu.serving import PDAEService
     from pdae_tpu.utils import init_key, save_checkpoint
 
