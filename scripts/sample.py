@@ -9,6 +9,11 @@ fields as the reference's inline dicts (see configs/sampler/*.yml).
 Usage:
   python scripts/sample.py --sampler autoencoding_eval \
       --config configs/sampler/autoencoding_eval.yml [--platform cpu]
+
+``--set key=value`` overrides any top-level config field without editing
+the YAML (repeatable; values parsed as python literals when possible),
+e.g. switch a run to the fast solver styles:
+  --set encoder_ddim_style=dpm20 --set decoder_ddim_style=dpm20
 """
 
 import argparse
@@ -23,6 +28,10 @@ def main(argv=None):
     p.add_argument("--sampler", required=True)
     p.add_argument("--config", required=True, help="YAML config path")
     p.add_argument("--platform", default=None)
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides",
+                   help="override a top-level config field (repeatable), "
+                        "e.g. --set decoder_ddim_style=dpm20")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -38,6 +47,16 @@ def main(argv=None):
                          f"available: {sorted(SAMPLERS)}")
     init_distributed()
     config = load_yaml(args.config)
+    import ast
+    for kv in args.overrides:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        key, val = kv.split("=", 1)
+        try:   # numbers/lists/bools as literals, else the raw string
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        config[key] = val
     sampler = SAMPLERS[args.sampler](config)
     result = sampler.start()
     print(f"{args.sampler}: done -> {result}")

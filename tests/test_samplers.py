@@ -322,3 +322,30 @@ def test_samplers_accept_dpm_solver_styles(stack, tmp_path):
         output_path=str(tmp_path / "uncond_dpm.png"))
     out = SAMPLERS["unconditional_sample"](cfg).start()
     assert os.path.exists(out)
+
+
+def test_sample_cli_set_overrides(stack, tmp_path, capsys):
+    """scripts/sample.py --set overrides top-level config fields (e.g.
+    switching a YAML run to the fast dpm styles without editing it)."""
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import sample as sample_cli
+
+    cfg = _pdae_sampler_config(
+        stack, encoder_ddim_style="ddim10", decoder_ddim_style="ddim10",
+        batch_size=8, max_samples=8)
+    path = str(tmp_path / "cfg.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    sample_cli.main([
+        "--sampler", "autoencoding_eval", "--config", path,
+        "--set", "decoder_ddim_style=dpm5",
+        "--set", "encoder_ddim_style=dpm5",
+        "--set", "batch_size=8"])
+    out = capsys.readouterr().out
+    assert "autoencoding_eval: done" in out and "ssim" in out
