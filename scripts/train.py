@@ -17,6 +17,12 @@ trainer by which script you launch; the config keys identify it uniquely):
 Usage:
   python scripts/train.py --config_path config/mnist_regular.yml \
       --run_path runs/mnist [--resume latest] [--max_steps N]
+
+``--set dotted.key=value`` overrides any config field without editing
+the YAML (repeatable; values parsed as python literals when possible),
+e.g. flip a run to FSDP + sharded checkpoints:
+  --set runner_config.param_sharding=fsdp \
+  --set runner_config.checkpoint_format=sharded
 """
 
 import argparse
@@ -51,6 +57,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before init")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides",
+                   help="override a config field by dotted path "
+                        "(repeatable), e.g. --set "
+                        "runner_config.steps_per_dispatch=8")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -62,6 +73,23 @@ def main(argv=None):
     init_distributed()
 
     config = load_yaml(args.config_path)
+    import ast
+    for kv in args.overrides:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        key, val = kv.split("=", 1)
+        try:   # numbers/lists/bools as literals, else the raw string
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        node = config
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                raise SystemExit(f"--set path {key!r}: {part!r} is not a "
+                                 f"mapping in the config")
+        node[parts[-1]] = val
     trainer_cls = pick_trainer(config)
     print(f"trainer: {trainer_cls.__name__}", flush=True)
     trainer = trainer_cls(config=config, run_path=args.run_path,

@@ -304,3 +304,30 @@ def test_representation_step_remat_modes_equal():
         for a, b in zip(results[mode][0], results[False][0]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_train_cli_set_overrides(tmp_path, capsys):
+    """scripts/train.py --set dotted.key=value: flip the smoke config to
+    fsdp + sharded checkpoints from the command line and verify both took
+    effect end to end."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import train as train_cli
+
+    run = str(tmp_path / "run")
+    cfg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "synthetic_smoke.yml")
+    train_cli.main([
+        "--config_path", cfg, "--run_path", run, "--max_steps", "2",
+        "--set", "runner_config.param_sharding=fsdp",
+        "--set", "runner_config.checkpoint_format=sharded",
+        "--set", "runner_config.fsdp_min_size=256"])
+    assert "RegularDiffusionTrainer" in capsys.readouterr().out
+    from pdae_tpu.utils import is_sharded_checkpoint, load_yaml
+    latest = os.path.join(run, "checkpoints", "latest.ckpt")
+    assert is_sharded_checkpoint(latest)
+    saved = load_yaml(os.path.join(run, "config.yml"))
+    assert saved["runner_config"]["param_sharding"] == "fsdp"
