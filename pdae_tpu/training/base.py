@@ -34,6 +34,24 @@ from ..utils import (load_checkpoint, load_yaml, save_checkpoint, save_yaml,
 from ..utils.config import overlay_eval_dataset_config
 
 
+def _ours_ckpt_dir(p: str) -> bool:
+    """A directory we may replace during a format switch: a valid sharded
+    checkpoint, OR a torn one (shard files but the manifest never landed
+    -- e.g. a crash inside the very first sharded save), OR empty.
+    Anything with unrecognized content is NOT ours and must not be
+    deleted."""
+    from ..utils import is_sharded_checkpoint
+    if is_sharded_checkpoint(p):
+        return True
+    try:
+        entries = os.listdir(p)
+    except OSError:
+        return False
+    return all(e == "manifest.msgpack" or e.endswith(".tmp")
+               or (e.startswith("shard-") and e.endswith(".msgpack"))
+               for e in entries)
+
+
 class Meters:
     def __init__(self):
         self.totals = collections.defaultdict(float)
@@ -205,6 +223,11 @@ class BaseTrainer:
         latest = os.path.join(run_path, "checkpoints", "latest.ckpt")
         if resume:
             path = resume if os.path.exists(resume) else latest
+            if not os.path.exists(path) and os.path.exists(path + ".swap"):
+                # a sharded->full format switch crashed between dropping
+                # the old directory and swapping the new file in; the
+                # .swap sibling IS the completed new checkpoint
+                os.replace(path + ".swap", path)
             raw = load_checkpoint(path)
             self.load_state_dict(raw)
             self.start_step = int(raw["step"])
@@ -459,21 +482,31 @@ class BaseTrainer:
             return
         sd = jax.device_get(sd)
         self._join_save()
+        file_paths = []
         for p in paths:
             if os.path.isdir(p):
                 # this run previously saved the sharded format here;
-                # replace the directory (refuse to delete anything that
-                # is not a recognizable checkpoint of ours)
-                from ..utils import is_sharded_checkpoint
-                if not is_sharded_checkpoint(p):
+                # replace the directory WITHOUT a no-checkpoint window:
+                # write the new file to a sibling first, only then drop
+                # the directory and swap (resume self-heals from the
+                # .swap sibling if we crash between those two steps).
+                # Refuse to delete anything that is not recognizably a
+                # (possibly torn) sharded checkpoint of ours.
+                if not _ours_ckpt_dir(p):
                     raise ValueError(
                         f"checkpoint target {p} is a directory but not a "
                         f"sharded checkpoint; refusing to overwrite")
                 import shutil
+                save_checkpoint(p + ".swap", sd)
                 shutil.rmtree(p)
+                os.replace(p + ".swap", p)
+            else:
+                file_paths.append(p)
+        if not file_paths:
+            return
 
         def _write():
-            for p in paths:
+            for p in file_paths:
                 save_checkpoint(p, sd)
 
         self._spawn_save(_write)
@@ -518,10 +551,11 @@ class BaseTrainer:
         for p in paths:
             try:     # run previously saved the full-file format; every
                 # process races on the shared dir -- losing the race is
-                # fine, someone removed it
+                # fine: FileNotFoundError (peer unlinked first) or
+                # IsADirectoryError (peer already recreated the dir)
                 if not os.path.isdir(p):
                     os.unlink(p)
-            except FileNotFoundError:
+            except OSError:
                 pass
             os.makedirs(p, exist_ok=True)
         if jax.process_count() > 1:
@@ -551,8 +585,19 @@ class BaseTrainer:
             err = getattr(self, "_save_error", None)
             if err is not None:
                 self._save_error = None
-                raise RuntimeError("background checkpoint write failed") \
-                    from err
+                if jax.process_count() > 1:
+                    # raising here on one rank would strand the others in
+                    # their next collective; request the CONSENSUS stop
+                    # (same mechanism as preemption) and surface the error
+                    # after every process has left the loop together
+                    self._save_error_deferred = err
+                    self._stop_local = True
+                    if is_primary():
+                        print(f"checkpoint write failed ({err!r}); "
+                              f"stopping by consensus", flush=True)
+                else:
+                    raise RuntimeError(
+                        "background checkpoint write failed") from err
 
     # -- loop ------------------------------------------------------------ #
 
@@ -668,7 +713,9 @@ class BaseTrainer:
                     t_end = time.perf_counter()
                 if multiproc and step % consensus_every == 0:
                     from ..parallel import gather_objects
-                    stop["flag"] = any(gather_objects([stop["local"]]))
+                    stop["flag"] = any(gather_objects(
+                        [stop["local"]
+                         or getattr(self, "_stop_local", False)]))
                 if step % save_latest == 0 or step % save_snap == 0:
                     # one save covers both cadences (a snapshot step would
                     # otherwise pay the state_dict gather + write twice)
@@ -692,4 +739,9 @@ class BaseTrainer:
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
             self._join_save()   # never return/raise with a write in flight
+        err = getattr(self, "_save_error_deferred", None)
+        if err is not None:
+            self._save_error_deferred = None
+            raise RuntimeError("background checkpoint write failed "
+                               "(run stopped by consensus)") from err
         return step

@@ -19,6 +19,36 @@ from typing import Any, Optional
 import yaml
 
 
+def apply_overrides(config: dict, overrides, dotted: bool = True) -> dict:
+    """Apply CLI ``key=value`` overrides to a config dict in place.
+
+    Shared by the train/sample launchers (``--set``).  Keys may be dotted
+    paths into nested mappings when ``dotted``; values parse as python
+    literals when possible (numbers, lists, bools), else raw strings.  An
+    empty YAML section header parses to None -- treated as an empty
+    mapping so ``--set runner_config.x=y`` works on bare configs."""
+    for kv in overrides:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        key, val = kv.split("=", 1)
+        try:
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        parts = key.split(".") if dotted else [key]
+        node = config
+        for part in parts[:-1]:
+            child = node.get(part)
+            if child is None:
+                child = node[part] = {}
+            if not isinstance(child, dict):
+                raise SystemExit(f"--set path {key!r}: {part!r} is not a "
+                                 f"mapping in the config")
+            node = child
+        node[parts[-1]] = val
+    return config
+
+
 def load_yaml(path: str) -> dict:
     with open(path, "r") as f:
         return yaml.safe_load(f)

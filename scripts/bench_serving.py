@@ -183,9 +183,11 @@ def main(argv=None):
             entry = {
                 "coalesce_ms": win,
                 "qps": round(n_req / wall, 2),
-                "p50_ms": round(lats_ms[n_req // 2], 1),
-                # nearest-rank percentile: ceil(q*n)-1 (int(q*n)-1 is
-                # biased low -- at n=2 it reported the MINIMUM as p95)
+                # nearest-rank percentiles: index ceil(q*n)-1 (biased
+                # variants mis-report badly at small n: n//2 gives the
+                # MAXIMUM as p50 at n=2)
+                "p50_ms": round(
+                    lats_ms[max(0, -(-n_req * 50 // 100) - 1)], 1),
                 "p95_ms": round(
                     lats_ms[max(0, -(-n_req * 95 // 100) - 1)], 1),
                 "wall_s": round(wall, 2),

@@ -140,6 +140,16 @@ def main(argv=None):
                 "output_mb": mb(m.output_size_in_bytes)}
 
     remats = {"off": False, "full": True, "skips": "skips"}
+
+    def parse_remat(prog):
+        parts = prog.split(":")
+        if len(parts) != 2 or parts[1] not in remats:
+            raise SystemExit(
+                f"bad program {prog!r}: train programs are "
+                f"train64:<mode>/train128:<mode> with mode in "
+                f"{sorted(remats)}")
+        return remats[parts[1]]
+
     out = {"device": str(jax.devices()[0]), "tiny": bool(args.tiny)}
     for prog in args.programs.split(","):
         prog = prog.strip()
@@ -148,9 +158,9 @@ def main(argv=None):
         elif prog == "dpm20_64":
             c = build_sample(64, solver_steps=20 if not args.tiny else 5)
         elif prog.startswith("train64"):
-            c = build_train(64, remats[prog.split(":")[1]])
+            c = build_train(64, parse_remat(prog))
         elif prog.startswith("train128"):
-            c = build_train(128, remats[prog.split(":")[1]])
+            c = build_train(128, parse_remat(prog))
         else:
             raise SystemExit(f"unknown program {prog!r}")
         out[prog] = analyze(c)

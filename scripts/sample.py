@@ -47,16 +47,8 @@ def main(argv=None):
                          f"available: {sorted(SAMPLERS)}")
     init_distributed()
     config = load_yaml(args.config)
-    import ast
-    for kv in args.overrides:
-        if "=" not in kv:
-            raise SystemExit(f"--set expects key=value, got {kv!r}")
-        key, val = kv.split("=", 1)
-        try:   # numbers/lists/bools as literals, else the raw string
-            val = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            pass
-        config[key] = val
+    from pdae_tpu.utils import apply_overrides
+    apply_overrides(config, args.overrides, dotted=False)
     sampler = SAMPLERS[args.sampler](config)
     result = sampler.start()
     print(f"{args.sampler}: done -> {result}")

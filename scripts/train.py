@@ -73,23 +73,8 @@ def main(argv=None):
     init_distributed()
 
     config = load_yaml(args.config_path)
-    import ast
-    for kv in args.overrides:
-        if "=" not in kv:
-            raise SystemExit(f"--set expects key=value, got {kv!r}")
-        key, val = kv.split("=", 1)
-        try:   # numbers/lists/bools as literals, else the raw string
-            val = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            pass
-        node = config
-        parts = key.split(".")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-            if not isinstance(node, dict):
-                raise SystemExit(f"--set path {key!r}: {part!r} is not a "
-                                 f"mapping in the config")
-        node[parts[-1]] = val
+    from pdae_tpu.utils import apply_overrides
+    apply_overrides(config, args.overrides, dotted=True)
     trainer_cls = pick_trainer(config)
     print(f"trainer: {trainer_cls.__name__}", flush=True)
     trainer = trainer_cls(config=config, run_path=args.run_path,

@@ -324,3 +324,50 @@ def test_join_save_reraises_writer_failure(tmp_path):
         tr._join_save()
     # the error is consumed; a later join is clean
     tr._join_save()
+
+
+def test_full_save_over_torn_sharded_dir(tmp_path):
+    """A sharded dir whose manifest never landed (crash in the FIRST
+    sharded save) must not block full-format saves forever."""
+    from pdae_tpu.utils.sharded_checkpoint import (extract_local_shards,
+                                                   write_shard_file)
+    run = str(tmp_path / "run")
+    cfg = _cfg({})
+    tr = RegularDiffusionTrainer(config=cfg, run_path=run)
+    latest = os.path.join(run, "checkpoints", "latest.ckpt")
+    os.makedirs(latest)
+    write_shard_file(latest, extract_local_shards(
+        {"w": np.ones((4, 4), np.float32)}), tag="9")
+    assert not glob.glob(os.path.join(latest, "manifest*"))
+    tr.train(max_steps=2)
+    tr._join_save()
+    assert os.path.isfile(latest)
+    assert int(load_checkpoint(latest)["step"]) == 2
+
+
+def test_full_save_refuses_foreign_directory(tmp_path):
+    run = str(tmp_path / "run")
+    tr = RegularDiffusionTrainer(config=_cfg({}), run_path=run)
+    latest = os.path.join(run, "checkpoints", "latest.ckpt")
+    os.makedirs(latest)
+    with open(os.path.join(latest, "user_data.txt"), "w") as f:
+        f.write("not ours")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        tr.train(max_steps=2)
+    assert os.path.exists(os.path.join(latest, "user_data.txt"))
+
+
+def test_resume_heals_interrupted_format_swap(tmp_path):
+    """Crash window between rmtree(dir) and os.replace(.swap -> latest):
+    resume finds the .swap sibling and promotes it."""
+    run = str(tmp_path / "run")
+    cfg = _cfg({})
+    tr = RegularDiffusionTrainer(config=cfg, run_path=run)
+    tr.train(max_steps=2)
+    tr._join_save()
+    latest = os.path.join(run, "checkpoints", "latest.ckpt")
+    os.replace(latest, latest + ".swap")   # simulate the torn swap
+    tr2 = RegularDiffusionTrainer(config=cfg, run_path=run,
+                                  resume="latest")
+    assert tr2.start_step == 2
+    assert os.path.isfile(latest) and not os.path.exists(latest + ".swap")
