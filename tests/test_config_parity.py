@@ -75,3 +75,29 @@ def test_config_values_match_reference(name):
         r = {k: v for k, v in (ref.get(section) or {}).items()
              if "path" not in k}
         assert _norm(o) == _norm(r), (name, section)
+
+
+def test_apply_overrides_unit():
+    """utils.apply_overrides: dotted paths, literal parsing, empty YAML
+    sections (None), and malformed input (shared by both CLIs' --set)."""
+    import pytest
+
+    from pdae_tpu.utils import apply_overrides
+
+    cfg = {"runner_config": None, "a": {"b": 1}}
+    apply_overrides(cfg, ["runner_config.param_sharding=fsdp",
+                          "a.b=2", "a.c=[1, 2]", "name=dpm20",
+                          "flag=True"])
+    assert cfg["runner_config"] == {"param_sharding": "fsdp"}
+    assert cfg["a"] == {"b": 2, "c": [1, 2]}
+    assert cfg["name"] == "dpm20" and cfg["flag"] is True
+
+    # non-dotted mode: the key is literal even if it contains a dot
+    cfg = {}
+    apply_overrides(cfg, ["x.y=3"], dotted=False)
+    assert cfg == {"x.y": 3}
+
+    with pytest.raises(SystemExit, match="key=value"):
+        apply_overrides({}, ["oops"])
+    with pytest.raises(SystemExit, match="not a mapping"):
+        apply_overrides({"a": 5}, ["a.b=1"])
