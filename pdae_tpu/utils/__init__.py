@@ -1,3 +1,4 @@
+from .cache import cpu_cache_dir, host_cpu_fingerprint
 from .config import (apply_overrides, load_json, load_pickle, load_yaml,
                      overlay_eval_dataset_config, parse_adam_betas, save_json,
                      save_pickle, save_yaml)
@@ -12,6 +13,7 @@ from .image import (from_uint8, make_grid, paste_rows, save_image_grid,
 from .rng import BASE_SEED, init_key, process_key, step_key
 
 __all__ = [
+    "cpu_cache_dir", "host_cpu_fingerprint",
     "apply_overrides", "load_json", "load_pickle", "load_yaml",
     "overlay_eval_dataset_config",
     "parse_adam_betas", "save_json", "save_pickle", "save_yaml",

@@ -25,8 +25,10 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
+    from pdae_tpu.utils.cache import cpu_cache_dir
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = (os.path.join(_root, ".jax_cache")
+             if args.platform != "cpu" else cpu_cache_dir(_root))
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -45,9 +47,9 @@ def main():
     params_bf16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16)
         if a.dtype == jnp.float32 else a, params)
-    key = jax.random.PRNGKey(0)
-    x_T = jax.random.normal(key, x.shape)
-    z = jax.random.normal(key, z0.shape)
+    kx, kz = jax.random.split(jax.random.PRNGKey(0))
+    x_T = jax.random.normal(kx, x.shape)
+    z = jax.random.normal(kz, z0.shape)
 
     def timed(fused, p):
         out = jax.block_until_ready(fused(p, x_T, z))

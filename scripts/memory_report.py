@@ -54,9 +54,10 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache" if args.platform != "cpu" else ".jax_cache_cpu")
+    from pdae_tpu.utils.cache import cpu_cache_dir
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache_dir = (os.path.join(_root, ".jax_cache")
+                 if args.platform != "cpu" else cpu_cache_dir(_root))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -15,11 +15,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: repeat test runs skip recompiles
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache_cpu")
+# persistent compile cache: repeat test runs skip recompiles.  Keyed by
+# host CPU features (pdae_tpu/utils/cache.py) so AOT entries compiled on
+# a different machine are never loaded here (SIGILL risk).
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys as _sys
+
+_sys.path.insert(0, _root)
+from pdae_tpu.utils.cache import cpu_cache_dir as _ccd
+
 try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_compilation_cache_dir", _ccd(_root))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
