@@ -75,6 +75,13 @@ def main():
     p.add_argument("--skip_128", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_train_128", action="store_true")
+    p.add_argument("--skip_stage34", action="store_true",
+                   help="skip the latent-DPM + manipulation train-step "
+                        "points (stages 3-4; MLP-sized, seconds of chip "
+                        "time)")
+    p.add_argument("--stage34_batch", type=int, default=128,
+                   help="per-chip batch for the stage-3/4 points (configs "
+                        "ship 128)")
     p.add_argument("--skip_latency", action="store_true",
                    help="skip the batch-1 DDIM-100 serving-latency point")
     p.add_argument("--dpm_steps", type=int, default=20,
@@ -383,6 +390,22 @@ def main():
                  "scan_steps_per_sec": legacy.get("scan_steps_per_sec"),
                  "scan_imgs_per_sec": legacy.get("scan_imgs_per_sec")})
 
+    # stages 3-4: latent-DPM (MLPSkipNet) + manipulation (Linear 512x40)
+    # train steps at the shipped config geometries -- the remaining two of
+    # the four trainer stages (reference train_latent_diffusion.py:72-93,
+    # train_manipulation.py:31-38); slope-timed, seconds of chip time
+    train_latent = train_manip = None
+    if not args.skip_stage34:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_stage34 import (measure_latent_step,
+                                   measure_manipulation_step)
+        peak_fl = peak * 1e12 if peak else None
+        train_latent = measure_latent_step(args.stage34_batch,
+                                           peak_flops=peak_fl)
+        train_manip = measure_manipulation_step(args.stage34_batch,
+                                                peak_flops=peak_fl)
+
     # serving latency: ONE image through the whole DDIM-100 decode (the
     # batch-1 regime the resident service lives in; throughput numbers
     # above can't be divided down to this -- the chip is underutilized
@@ -475,6 +498,8 @@ def main():
         "sweep_128px": [strip(r) for r in sweep128],
         "train_64px": train64,
         "train_128px": train128,
+        "train_latent": train_latent,
+        "train_manipulation": train_manip,
         "latency_b1_ms_ddim100_64px": latency_b1_ms,
         f"dpm{args.dpm_steps}_64px": (strip(dpm_point) if dpm_point
                                       else None),

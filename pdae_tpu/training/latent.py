@@ -23,8 +23,8 @@ from ..utils import init_key, process_key, restore_into, save_image_grid, to_uin
 from ..utils.rng import step_key
 from .artifacts import load_latent_stats, load_pdae, resolve_model_config
 from .base import BaseTrainer
-from .state import (TrainState, accumulate_grads, make_optimizer,
-                    maybe_ema_update)
+from .state import TrainState, make_optimizer
+from .steps import make_latent_train_step
 
 
 class LatentDiffusionTrainer(BaseTrainer):
@@ -95,31 +95,17 @@ class LatentDiffusionTrainer(BaseTrainer):
         def dec_apply(dp, x_t, tt, zc):
             return decoder.apply({"params": dp}, x_t, tt, zc)
 
+        # the SHARED stage-3 step builder (training/steps.py) -- bench.py
+        # measures the same program structure this trainer runs
+        base_step = make_latent_train_step(
+            gd, model, encoder, tx, mean, std, ema_decay=ema_decay,
+            ema_every=ema_every, num_iters=num_iters)
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, enc_p, batch):
             rng = step_key(self._base_rng, state.step)
-
-            def loss_fn(params, x_0, _cond, key):
-                key, drop_key = jax.random.split(key)
-                out = gd.latent_diffusion_train_one_batch(
-                    key,
-                    lambda zt, tt: model.apply(
-                        {"params": params}, zt, tt, deterministic=False,
-                        rngs={"dropout": drop_key}),
-                    lambda xx: enc_apply(enc_p, xx), x_0, mean, std)
-                return out["prediction_loss"]
-
-            loss, grads = accumulate_grads(
-                loss_fn, state.params, batch["x_0"], rng, num_iters)
-
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = jax.tree_util.tree_map(jnp.add, state.params, updates)
-            new_step = state.step + 1
-            ema = maybe_ema_update(new_step, state.ema_params, params,
-                                   ema_decay, ema_every)
-            return state.replace(step=new_step, params=params, ema_params=ema,
-                                 opt_state=opt_state), {
-                "prediction_loss": loss}
+            state, loss = base_step(state, enc_p, batch["x_0"], rng)
+            return state, {"prediction_loss": loss}
 
         self._train_step = train_step
 

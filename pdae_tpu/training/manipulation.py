@@ -24,7 +24,8 @@ from ..utils import init_key, process_key, restore_into, save_image_grid, to_uin
 from ..utils.rng import step_key
 from .artifacts import load_latent_stats, load_pdae, resolve_model_config
 from .base import BaseTrainer
-from .state import TrainState, make_optimizer, maybe_ema_update
+from .state import TrainState, make_optimizer
+from .steps import make_manipulation_train_step
 
 
 class ManipulationTrainer(BaseTrainer):
@@ -92,23 +93,17 @@ class ManipulationTrainer(BaseTrainer):
         self._enc_apply = enc_apply
         self._dec_apply = dec_apply
 
+        # the SHARED stage-4 step builder (training/steps.py) -- bench.py
+        # measures the same program structure this trainer runs
+        base_step = make_manipulation_train_step(
+            gd, model, encoder, tx, mean, std, ema_decay=ema_decay,
+            ema_every=ema_every)
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, enc_p, batch):
-            def loss_fn(params):
-                out = gd.manipulation_train_one_batch(
-                    lambda zn: model.apply({"params": params}, zn),
-                    lambda xx: enc_apply(enc_p, xx),
-                    batch["x_0"], batch["label"], mean, std)
-                return out["bce_loss"]
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = jax.tree_util.tree_map(jnp.add, state.params, updates)
-            new_step = state.step + 1
-            ema = maybe_ema_update(new_step, state.ema_params, params,
-                                   ema_decay, ema_every)
-            return state.replace(step=new_step, params=params, ema_params=ema,
-                                 opt_state=opt_state), {"bce_loss": loss}
+            state, loss = base_step(state, enc_p, batch["x_0"],
+                                    batch["label"])
+            return state, {"bce_loss": loss}
 
         self._train_step = train_step
 
