@@ -64,8 +64,9 @@ def main():
                         "dispatch-loop mode")
     p.add_argument("--train_batches64", default="32,64",
                    help="64px train-step batch sweep (best reported)")
-    p.add_argument("--train_batch128", type=int, default=32,
-                   help="128px (ffhq geometry) train batch")
+    p.add_argument("--train_batches128", default="32,64",
+                   help="128px (ffhq geometry) train-step batch sweep "
+                        "(best reported; both fit in HBM, PERF.md)")
     p.add_argument("--remat128", default="off",
                    choices=["off", "full", "skips"],
                    help="128px train remat mode (off is fastest on v5e "
@@ -374,11 +375,14 @@ def main():
         train64 = dict(best_t)
         train64["sweep"] = sweep
         if not args.skip_train_128:
-            train128 = measure_train_step(
-                128, args.train_batch128,
-                remat={"off": False, "full": True,
-                       "skips": "skips"}[args.remat128],
-                peak_flops=peak_fl)
+            remat128 = {"off": False, "full": True,
+                        "skips": "skips"}[args.remat128]
+            sweep128t = [measure_train_step(128, b, remat=remat128,
+                                            peak_flops=peak_fl)
+                         for b in [int(v)
+                                   for v in args.train_batches128.split(",")]]
+            train128 = dict(max(sweep128t, key=lambda r: r["imgs_per_sec"]))
+            train128["sweep"] = sweep128t
         if args.train_scan > 1:
             legacy = bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
                                  n_steps=12)

@@ -42,14 +42,17 @@ def remat_wrap(fn, mode):
 
 def make_representation_train_step(gd, encoder, decoder, tx,
                                    ema_decay: float = 0.9999,
-                                   remat=False):
+                                   remat=False, num_iters: int = 1):
     """Pure ``(state, frozen, x_0, rng) -> (state, loss)`` step.
 
     ``state.params`` must be ``{"encoder": ..., "shift": ...}``; ``frozen``
     is the ShiftUNet trunk (never updated, merged for each forward).
     ``remat`` checkpoints the decoder forward (the 128px training
     configuration, training/representation.py:104-109): ``True`` = full,
-    ``"skips"`` = save the trunk skip activations (see :func:`remat_wrap`)."""
+    ``"skips"`` = save the trunk skip activations (see :func:`remat_wrap`).
+    ``num_iters`` > 1 splits the batch into that many micro-batches with
+    grads accumulated in one ``lax.scan`` (the trainer's
+    ``num_iterations``, state.py::accumulate_grads)."""
 
     dec_apply = remat_wrap(
         lambda frozen, shift, xx, tt, zz: decoder.apply(
@@ -57,16 +60,17 @@ def make_representation_train_step(gd, encoder, decoder, tx,
         remat)
 
     def train_step(state, frozen, x_0, rng):
-        def loss_fn(params):
+        def loss_fn(params, xb, _cond, key):
             out = gd.representation_learning_train_one_batch(
-                rng,
+                key,
                 lambda xx: encoder.apply({"params": params["encoder"]}, xx),
                 lambda xx, tt, zz: dec_apply(frozen, params["shift"],
                                              xx, tt, zz),
-                x_0)
+                xb)
             return out["prediction_loss"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = accumulate_grads(
+            loss_fn, state.params, x_0, rng, num_iters)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(jnp.add, state.params, updates)
         ema = ema_update(state.ema_params, params, ema_decay)

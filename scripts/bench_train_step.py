@@ -31,7 +31,9 @@ PEAK_BF16_TFLOPS = 197e12   # v5e; bench.py passes its own peak
 def measure_train_step(size: int, batch: int, remat=False,
                        dtype_name: str = "bfloat16", k_lo: int = 2,
                        k_hi: int = 8, reps: int = 3, trace: str = None,
-                       peak_flops: float = PEAK_BF16_TFLOPS) -> dict:
+                       peak_flops: float = PEAK_BF16_TFLOPS,
+                       xla_options: dict = None,
+                       num_iters: int = 1) -> dict:
     """Measure the flagship representation-learning train step.
 
     Returns {ms_per_step, steps_per_sec, imgs_per_sec, gflops_per_step,
@@ -64,7 +66,8 @@ def measure_train_step(size: int, batch: int, remat=False,
     state = TrainState.create({"encoder": enc_params, "shift": shift_params},
                               tx)
     train_step = make_representation_train_step(gd, encoder, decoder, tx,
-                                                remat=remat)
+                                                remat=remat,
+                                                num_iters=num_iters)
 
     key = jax.random.PRNGKey(0)
     x_0 = jax.random.normal(key, (batch, size, size, 3), jnp.float32)
@@ -82,7 +85,12 @@ def measure_train_step(size: int, batch: int, remat=False,
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames="K", donate_argnums=0)
+    # TPU-backend XLA options ride PJRT compiler_options (XLA_FLAGS can't
+    # carry libtpu flags through the axon tunnel: the local parser only
+    # knows CPU-backend flags and aborts on unknown ones)
+    jit_kw = {"compiler_options": xla_options} if xla_options else {}
+
+    @partial(jax.jit, static_argnames="K", donate_argnums=0, **jit_kw)
     def multi(state, frozen, x_0, rng, K):
         def body(carry, k):
             s, _ = carry
@@ -121,6 +129,7 @@ def measure_train_step(size: int, batch: int, remat=False,
     step_s = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
     out = {
         "size": size, "batch": batch, "remat": remat,
+        "num_iters": num_iters,
         "gn_vjp": "on" if ops.use_gn_train_vjp() else "off",
         "ms_per_step": round(step_s * 1e3, 2),
         "steps_per_sec": round(1.0 / step_s, 2),
@@ -153,6 +162,16 @@ def main():
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="jax.profiler trace of a few steps into DIR + "
                         "top-op summary to stderr")
+    p.add_argument("--xla_option", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="repeatable XLA compiler option passed via PJRT "
+                        "compiler_options (e.g. "
+                        "xla_tpu_scoped_vmem_limit_kib=65536)")
+    p.add_argument("--microbatch", type=int, default=1, metavar="M",
+                   help="split the batch into M grad-accumulation "
+                        "micro-batches inside the step (the trainer's "
+                        "num_iterations; shrinks each conv wgrad's "
+                        "spatial-reduce extent)")
     args = p.parse_args()
 
     import jax
@@ -167,10 +186,15 @@ def main():
         ops.set_gn_train_vjp(args.gn_vjp == "on")
 
     remat = {"off": False, "full": True, "skips": "skips"}[args.remat]
+    xla_options = (dict(kv.split("=", 1) for kv in args.xla_option)
+                   or None)
     out = measure_train_step(args.size, args.batch, remat=remat,
                              dtype_name=args.dtype, k_lo=args.k_lo,
                              k_hi=args.k_hi, reps=args.reps,
-                             trace=args.trace)
+                             trace=args.trace, xla_options=xla_options,
+                             num_iters=args.microbatch)
+    if xla_options:
+        out["xla_options"] = xla_options
     print(json.dumps(out))
 
 

@@ -306,6 +306,50 @@ def test_representation_step_remat_modes_equal():
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_representation_step_microbatched():
+    """num_iters=2 splits the batch into a grad-accumulation lax.scan
+    (the reference's num_iterations for stage 2,
+    train_representation_learning.py:72-97): the step must run, produce a
+    finite loss, update the params, and actually contain a scanned body
+    (two micro-forwards are not unrolled)."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from pdae_tpu.diffusion import GaussianDiffusion
+    from pdae_tpu.models import SemanticEncoder, ShiftUNet
+    from pdae_tpu.training.partition import split_shift_unet
+    from pdae_tpu.training.state import TrainState, make_optimizer
+    from pdae_tpu.training.steps import make_representation_train_step
+    from pdae_tpu.utils import init_key
+
+    gd = GaussianDiffusion({"timesteps": 20, "betas_type": "linear"})
+    decoder = ShiftUNet(latent_dim=16, **g.TINY_DPM)
+    encoder = SemanticEncoder(16, channels=(8, 16), attn_after_stage=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    enc_params = jax.jit(encoder.init)(init_key(0), x)["params"]
+    dec_params = jax.jit(decoder.init)(
+        init_key(1), x, jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 16)))["params"]
+    shift_params, frozen = split_shift_unet(dec_params)
+    tx = make_optimizer({"lr": 1e-3})
+    x_0 = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3),
+                      jnp.float32) * 2 - 1
+    rng = jax.random.PRNGKey(7)
+
+    step = make_representation_train_step(gd, encoder, decoder, tx,
+                                          num_iters=2)
+    state = TrainState.create(
+        {"encoder": enc_params, "shift": shift_params}, tx)
+    jaxpr = str(jax.make_jaxpr(step)(state, frozen, x_0, rng))
+    assert "scan" in jaxpr
+    new_state, loss = jax.jit(step)(state, frozen, x_0, rng)
+    assert np.isfinite(float(loss))
+    changed = [not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                               jax.tree_util.tree_leaves(new_state.params))]
+    assert any(changed)
+
+
 def test_train_cli_set_overrides(tmp_path, capsys):
     """scripts/train.py --set dotted.key=value: flip the smoke config to
     fsdp + sharded checkpoints from the command line and verify both took
