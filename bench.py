@@ -98,6 +98,10 @@ def main():
                    help="capture a jax.profiler trace of the headline "
                         "sampling program into DIR and print the top-op "
                         "summary to stderr (stdout stays one JSON line)")
+    p.add_argument("--fused_upsample", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="up-blocks' conv3x3(nearest_up) as one lhs-dilated "
+                        "conv (ops/upsample_conv.py; auto = on for TPU)")
     args = p.parse_args()
 
     if args.platform:
@@ -113,6 +117,10 @@ def main():
         pass
     import jax.numpy as jnp
     import numpy as np
+
+    from pdae_tpu import ops
+    if args.fused_upsample != "auto":
+        ops.set_fused_upsample(args.fused_upsample == "on")
 
     from __graft_entry__ import CELEBA64_DPM, FFHQ128_DPM, TINY_DPM
     from pdae_tpu.diffusion import (GaussianDiffusion, ddim as ddim_lib,
@@ -496,6 +504,7 @@ def main():
         "dtype": args.dtype,
         "device": device,
         "peak_bf16_tflops": peak,
+        "fused_upsample": ops.use_fused_upsample(),
         "host_loop_imgs_per_sec": host_imgs,
         "sweep_64px": [strip(r) for r in sweep64],
         "ddim100_128px": strip(best128) if best128 else None,

@@ -134,6 +134,40 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class FusedUpsampleConv3x3(nn.Module):
+    """``conv3x3(nearest_up_2x(x))`` as one lhs-dilated conv.
+
+    Param-compatible with ``nn.Conv(features, (3,3))`` (same ``kernel``
+    [3,3,I,O] / ``bias`` leaves, same init), so checkpoints and the
+    torch-converter mapping are unchanged; the 4x4 dilated kernel is
+    derived at trace time (ops/upsample_conv.py).  Used by the up-blocks
+    when ``ops.use_fused_upsample()`` -- kills the 4x-larger nearest-up
+    intermediate (fwd broadcast / bwd reduce_sum HBM round-trips) and
+    does 2.25x fewer MACs on this conv."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        from ..ops import fused_upsample_conv3x3
+        return fused_upsample_conv3x3(x, kernel, bias, self.dtype)
+
+
+def _up_conv3x3(features, dtype, name):
+    """conv3x3-after-nearest-up, fused when the ops toggle is on.
+    Returns a module applied to the PRE-upsample tensor when fused, so
+    callers pass ``(pre_up, already_upsampled)`` and pick."""
+    from ..ops import use_fused_upsample
+    if use_fused_upsample():
+        return FusedUpsampleConv3x3(features, dtype=dtype, name=name), True
+    return conv3x3(features, dtype=dtype, name=name), False
+
+
 class Upsample(nn.Module):
     """2x nearest upsample with optional 3x3 conv (module.py:143-172)."""
     channels: int
@@ -143,11 +177,11 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
         if self.use_conv:
-            x = conv3x3(self.out_channels or self.channels,
-                        dtype=self.dtype, name="conv")(x)
-        return x
+            conv, fused = _up_conv3x3(self.out_channels or self.channels,
+                                      self.dtype, "conv")
+            return conv(x if fused else upsample_nearest_2x(x))
+        return upsample_nearest_2x(x)
 
 
 class Downsample(nn.Module):
@@ -187,12 +221,14 @@ class ResBlock(nn.Module):
 
         h = GNSiluChain(self.channels, self.dtype, name="in_norm")(x)
         if self.up:
-            h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
-        elif self.down:
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+            conv, fused = _up_conv3x3(out_ch, self.dtype, "in_conv")
+            h = conv(h if fused else upsample_nearest_2x(h))
+        else:
+            if self.down:
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(2 * out_ch, dtype=self.dtype,
                            name="emb_dense")(nn.silu(emb))
@@ -235,12 +271,14 @@ class ResBlockShift(nn.Module):
 
         h = GNSiluChain(self.channels, self.dtype, name="in_norm")(x)
         if self.up:
-            h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
-        elif self.down:
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+            conv, fused = _up_conv3x3(out_ch, self.dtype, "in_conv")
+            h = conv(h if fused else upsample_nearest_2x(h))
+        else:
+            if self.down:
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(2 * out_ch, dtype=self.dtype,
                            name="emb_dense")(nn.silu(emb))

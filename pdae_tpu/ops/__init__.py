@@ -7,6 +7,7 @@ kernel (models/blocks.py checks this flag); default on for TPU backends.
 from .attention import fused_qkv_attention, reference_attention
 from .groupnorm import fused_gn_adagn_silu, reference_gn_adagn_silu
 from .groupnorm_train import gn_adagn_silu_inline, gn_adagn_silu_train
+from .upsample_conv import derive_k4, fused_upsample_conv3x3
 
 _USE_PALLAS = None  # tri-state: None = auto (TPU only)
 
@@ -41,8 +42,30 @@ def use_gn_train_vjp() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_FUSED_UPSAMPLE = None  # tri-state: None = auto (TPU only)
+
+
+def set_fused_upsample(value):
+    """Compute the decoders' ``conv3x3(nearest_up_2x(h))`` as one
+    lhs-dilated conv (ops/upsample_conv.py) -- no 4x-larger intermediate,
+    2.25x fewer MACs on that conv.  Checkpoint trees are unchanged (the
+    4x4 kernel is derived from the stored 3x3 at trace time).  None =
+    auto (on for TPU)."""
+    global _FUSED_UPSAMPLE
+    _FUSED_UPSAMPLE = value
+
+
+def use_fused_upsample() -> bool:
+    if _FUSED_UPSAMPLE is not None:
+        return _FUSED_UPSAMPLE
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 __all__ = ["fused_qkv_attention", "reference_attention",
            "fused_gn_adagn_silu", "reference_gn_adagn_silu",
            "gn_adagn_silu_inline", "gn_adagn_silu_train",
+           "fused_upsample_conv3x3", "derive_k4",
            "set_use_pallas", "use_pallas",
-           "set_gn_train_vjp", "use_gn_train_vjp"]
+           "set_gn_train_vjp", "use_gn_train_vjp",
+           "set_fused_upsample", "use_fused_upsample"]

@@ -131,6 +131,7 @@ def measure_train_step(size: int, batch: int, remat=False,
         "size": size, "batch": batch, "remat": remat,
         "num_iters": num_iters,
         "gn_vjp": "on" if ops.use_gn_train_vjp() else "off",
+        "fused_upsample": "on" if ops.use_fused_upsample() else "off",
         "ms_per_step": round(step_s * 1e3, 2),
         "steps_per_sec": round(1.0 / step_s, 2),
         "imgs_per_sec": round(batch / step_s, 1),
@@ -153,6 +154,10 @@ def main():
                         "trunk skip activations (steps.py::remat_wrap)")
     p.add_argument("--gn_vjp", default="auto", choices=["auto", "on", "off"],
                    help="stat-caching closed-form GN backward (ops)")
+    p.add_argument("--fused_upsample", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="up-blocks' conv3x3(nearest_up) as one lhs-dilated "
+                        "conv (ops/upsample_conv.py)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--k_lo", type=int, default=2)
     p.add_argument("--k_hi", type=int, default=8)
@@ -184,6 +189,9 @@ def main():
     if args.gn_vjp != "auto":
         from pdae_tpu import ops
         ops.set_gn_train_vjp(args.gn_vjp == "on")
+    if args.fused_upsample != "auto":
+        from pdae_tpu import ops
+        ops.set_fused_upsample(args.fused_upsample == "on")
 
     remat = {"off": False, "full": True, "skips": "skips"}[args.remat]
     xla_options = (dict(kv.split("=", 1) for kv in args.xla_option)

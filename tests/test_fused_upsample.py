@@ -1,0 +1,115 @@
+"""Fused nearest-up-2x + conv3x3 (ops/upsample_conv.py) parity.
+
+The fused lhs-dilated conv must be numerically interchangeable with the
+literal ``conv3x3(nearest_up_2x(x))`` composition the up-blocks use
+(reference module.py:143-172, :205-297 with ``up=True``) -- same param
+tree, same forward values, same gradients -- because the toggle is a
+runtime perf knob, not a model change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdae_tpu import ops
+from pdae_tpu.models.blocks import (ResBlock, ResBlockShift, Upsample,
+                                    upsample_nearest_2x)
+from pdae_tpu.ops import fused_upsample_conv3x3
+from pdae_tpu.utils import init_key
+
+
+@pytest.fixture
+def toggle():
+    """Restore the tri-state fused-upsample toggle after the test."""
+    yield ops.set_fused_upsample
+    ops.set_fused_upsample(None)
+
+
+def _reference(x, k, b):
+    y = upsample_nearest_2x(x)
+    y = jax.lax.conv_general_dilated(
+        y, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def test_op_matches_composition_fp32():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 7, 5, 6), jnp.float32)   # odd H/W too
+    k = jnp.asarray(rs.randn(3, 3, 6, 4) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(4), jnp.float32)
+    got = fused_upsample_conv3x3(x, k, b)
+    want = _reference(x, k, b)
+    assert got.shape == (2, 14, 10, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_op_matches_composition_bf16():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 8, 8, 8), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(3, 3, 8, 8) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(8), jnp.float32)
+    got = np.asarray(fused_upsample_conv3x3(x, k, b).astype(jnp.float32))
+    want = np.asarray(_reference(x.astype(jnp.bfloat16),
+                                 k.astype(jnp.bfloat16),
+                                 b.astype(jnp.bfloat16)).astype(jnp.float32))
+    # bf16 tap pre-summation reassociates the accumulation: ~1e-2 rel
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def _run_module(mod, args, toggle_val, toggle, params=None):
+    toggle(toggle_val)
+    try:
+        if params is None:
+            params = jax.jit(mod.init)(init_key(0), *args)["params"]
+        out = mod.apply({"params": params}, *args)
+    finally:
+        toggle(None)
+    return params, out
+
+
+@pytest.mark.parametrize("module", ["upsample", "resblock", "resshift"])
+def test_modules_toggle_equivalent(module, toggle):
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    emb = jnp.asarray(rs.randn(2, 12), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 12), jnp.float32)
+    if module == "upsample":
+        mod, args = Upsample(16, use_conv=True), (x,)
+    elif module == "resblock":
+        mod, args = ResBlock(16, 12, 0.0, up=True), (x, emb)
+    else:
+        mod, args = ResBlockShift(16, 12, 0.0, up=True), (x, emb, z)
+
+    p_off, out_off = _run_module(mod, args, False, toggle)
+    p_on, out_on = _run_module(mod, args, True, toggle, params=p_off)
+    # identical param tree (checkpoint compatibility)
+    assert (jax.tree_util.tree_structure(p_off)
+            == jax.tree_util.tree_structure(p_on))
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_toggle_equivalent(toggle):
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    emb = jnp.asarray(rs.randn(2, 12), jnp.float32)
+    mod = ResBlock(16, 12, 0.0, up=True)
+    toggle(False)
+    params = jax.jit(mod.init)(init_key(0), x, emb)["params"]
+
+    def loss(p, on):
+        toggle(on)
+        try:
+            return jnp.sum(mod.apply({"params": p}, x, emb) ** 2)
+        finally:
+            toggle(None)
+
+    g_off = jax.grad(lambda p: loss(p, False))(params)
+    g_on = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                    jax.tree_util.tree_leaves(g_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-4)
