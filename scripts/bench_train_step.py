@@ -72,10 +72,16 @@ def measure_train_step(size: int, batch: int, remat=False,
     key = jax.random.PRNGKey(0)
     x_0 = jax.random.normal(key, (batch, size, size, 3), jnp.float32)
 
-    # cost analysis of the single step (the honest GF/step figure)
+    # cost analysis of the single step (the honest GF/step figure).
+    # Microbatched steps wrap the forwards in a lax.scan, whose body XLA
+    # cost_analysis counts ONCE -- so the FLOPs reference is always the
+    # unsplit (num_iters=1) step: same math, scan-free.
+    flops_step = (train_step if num_iters <= 1 else
+                  make_representation_train_step(gd, encoder, decoder, tx,
+                                                 remat=remat))
     flops = None
     try:
-        cost = jax.jit(train_step).lower(
+        cost = jax.jit(flops_step).lower(
             state, frozen, x_0, key).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
