@@ -43,9 +43,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synthetic_batch(dataset, idxs):
+def synthetic_batch(dataset, idxs, texture=0.0):
+    """Stack corpus images; ``texture`` adds per-index seeded uniform
+    noise in [-texture, texture] (clipped to the data range).  The
+    synthetic corpus is piecewise-constant, which makes SSIM degenerate
+    (the window variance goes epsilon-negative -- PARITY.md round-1
+    note); texturing gives every window real variance so the SSIM
+    column of the fast-eval trade is meaningful."""
     import numpy as np
-    return np.stack([dataset[int(i)]["x_0"] for i in idxs])
+    imgs = []
+    for i in idxs:
+        x = dataset[int(i)]["x_0"]
+        if texture:
+            rs = np.random.RandomState(1000003 + int(i))
+            x = np.clip(x + rs.uniform(-texture, texture,
+                                       x.shape).astype(x.dtype), -1.0, 1.0)
+        imgs.append(x)
+    return np.stack(imgs)
 
 
 def main(argv=None):
@@ -68,6 +82,11 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--reps", type=int, default=2,
                    help="timed reps after warmup")
+    p.add_argument("--texture", type=float, default=0.0,
+                   help="seeded uniform noise amplitude added to every "
+                        "corpus image (train AND eval) -- makes SSIM "
+                        "well-defined on the piecewise-constant synthetic "
+                        "corpus (see synthetic_batch)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -132,7 +151,7 @@ def main(argv=None):
     loss0 = lossN = None
     for i in range(args.train_steps):
         idxs = rng.randint(0, 90000, (args.train_batch,))
-        x_0 = jnp.asarray(synthetic_batch(ds, idxs))
+        x_0 = jnp.asarray(synthetic_batch(ds, idxs, args.texture))
         state, loss = train_step(state, frozen, x_0,
                                  jax.random.fold_in(jax.random.PRNGKey(7),
                                                     i))
@@ -160,7 +179,7 @@ def main(argv=None):
            "train_batch": args.train_batch, "train_wall_s":
            round(train_wall, 1), "loss_first": loss0, "loss_last": lossN,
            "eval_batch": args.eval_batch, "eval_n": args.eval_n,
-           "styles": {}}
+           "texture": args.texture, "styles": {}}
 
     for pair in args.styles.split(","):
         enc_style, dec_style = pair.strip().split("+")
@@ -168,7 +187,8 @@ def main(argv=None):
         fn = jax.jit(lambda ep, dp, x: gd.representation_learning_autoencoding(
             enc_style, dec_style, enc_fn(ep), dec_fn(dp), x))
 
-        xb0 = jnp.asarray(synthetic_batch(ds, eval_idxs[:args.eval_batch]))
+        xb0 = jnp.asarray(synthetic_batch(ds, eval_idxs[:args.eval_batch],
+                                          args.texture))
         t0 = time.perf_counter()
         lowered = fn.lower(enc_eval, dec_eval, xb0)
         compiled = lowered.compile()
@@ -188,7 +208,7 @@ def main(argv=None):
                 idxs = eval_idxs[start:start + args.eval_batch]
                 if len(idxs) < args.eval_batch:
                     break
-                xb = jnp.asarray(synthetic_batch(ds, idxs))
+                xb = jnp.asarray(synthetic_batch(ds, idxs, args.texture))
                 recon = np.asarray(fn(enc_eval, dec_eval, xb))
                 n_done += len(idxs)
                 a = (recon + 1.0) / 2.0
