@@ -285,6 +285,40 @@ def test_encode_decode_roundtrip_on_analytic_gaussian():
     assert float(jnp.max(jnp.abs(back - x_0))) < 3e-2
 
 
+def test_roundtrip_pattern_matched_grid_cancellation():
+    """The structural fact behind the chip-measured fast-eval trade
+    (PERF.md "The fast-eval trade, quantified"): on a NONLINEAR model
+    the dpm20+dpm20 roundtrip beats the reference's ddim1000-encode +
+    ddim100-decode autoencoding pattern (autoencoding_eval.py) at 27.5x
+    fewer NFE — and the advantage is matched-grid cancellation, not
+    per-leg accuracy: upgrading EITHER leg of the matched pair to a
+    finer grid makes the roundtrip WORSE, because the second-order
+    multistep traversed both ways on one λ-grid is approximately
+    self-inverse.  (Measured on this toy: dpm20+dpm20 1.8e-3 RMSE vs
+    ddim1000+ddim100 6.5e-3, dpm80+dpm20 5.1e-3, dpm20+dpm80 5.7e-3,
+    matched-fine dpm80+dpm80 1.4e-4; first-order DDIM does NOT cancel —
+    ddim100+ddim100 1.2e-2.)"""
+    gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
+    x_0 = 0.5 * jnp.tanh(jax.random.normal(jax.random.PRNGKey(20),
+                                           (4, 8, 8, 3)))
+
+    def rt_rmse(enc, dec):
+        x_T = gd.ddim_encode(enc, _toy_denoise_fn, x_0)
+        back = gd.ddim_sample(dec, _toy_denoise_fn, x_T)
+        return float(jnp.sqrt(jnp.mean((back - x_0) ** 2)))
+
+    reference = rt_rmse("ddim1000", "ddim100")   # the README pattern
+    fast = rt_rmse("dpm20", "dpm20")             # autoencoding_eval_fast
+    assert fast < reference / 2, (fast, reference)
+    # cancellation: a MORE accurate encode or decode leg breaks the pair
+    assert fast < rt_rmse("dpm80", "dpm20") / 2
+    assert fast < rt_rmse("dpm20", "dpm80") / 2
+    # matched finer grid keeps cancelling (not a dpm20 coincidence)
+    assert rt_rmse("dpm80", "dpm80") < fast / 5
+    # first-order DDIM on a matched grid has no such property
+    assert rt_rmse("ddim100", "ddim100") > reference
+
+
 def test_encode_style_dispatch():
     gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
     x_0 = 0.5 * jnp.tanh(jax.random.normal(jax.random.PRNGKey(15),

@@ -15,11 +15,14 @@ def test_headline_eval_tiny():
     out = headline_eval.main([
         "--size", "16", "--platform", "cpu", "--train_steps", "4",
         "--train_batch", "8", "--eval_batch", "8", "--eval_n", "8",
-        "--reps", "1", "--styles", "ddim20+ddim10,dpm5+dpm5"])
+        "--reps", "1", "--styles", "ddim20+ddim10,dpm5+dpm5",
+        "--texture", "0.15"])
     assert set(out["styles"]) == {"ddim20+ddim10", "dpm5+dpm5"}
     for style, r in out["styles"].items():
         assert r["imgs_per_sec"] > 0
-        assert 0.0 < r["ssim"] <= 1.001  # constant-patch epsilon artifact
+        # texturing gives every SSIM window real variance, so the
+        # constant-patch epsilon artifact (ssim > 1) cannot occur
+        assert 0.0 < r["ssim"] <= 1.0
         assert r["mse"] >= 0.0
         assert r["compile_wall_s"] > 0
     # training must have engaged (loss recorded and finite)
