@@ -520,6 +520,15 @@ def main():
         f"dpm{args.dpm_steps}_128px": (strip(dpm_point128) if dpm_point128
                                        else None),
         f"autoencode_dpm{args.dpm_steps}_64px": ae_point,
+        # the reference's README-headline eval program (ddim1000 encode +
+        # ddim100 decode at ffhq128 geometry, autoencoding_eval.py):
+        # imgs/s derived from the measured 128px DDIM evals/s over its
+        # 1100 chained evals.  Directly-timed chip record (compile wall,
+        # HBM temp, roundtrip SSIM/MSE): scripts/headline_eval.py +
+        # PERF.md "Headline program @128px".
+        "headline_ddim1000p100_128px_derived": (
+            round(best128["denoise_steps_per_sec"] / 1100.0, 3)
+            if best128 else None),
     }
 
     if args.trace:

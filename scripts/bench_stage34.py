@@ -103,14 +103,21 @@ def measure_latent_step(batch: int = 128, dtype_name: str = "bfloat16",
     x_0 = jax.random.normal(key, (batch, 64, 64, 3), jnp.float32)
     flops = _step_flops(train_step, state, enc_params, x_0, key)
 
+    # x_0 is loop-CARRIED and rolled each iteration: the frozen-encoder
+    # forward must run every step as in real training (each step gets a
+    # fresh batch).  With a fixed x_0 and frozen enc_p the encoder is
+    # loop-invariant and XLA hoists it out of the scan -- the slope then
+    # times only the MLP head while the FLOPs count includes the
+    # encoder, overstating MFU (this overstated manipulation to >100%).
     @partial(jax.jit, static_argnames="K", donate_argnums=0)
     def multi(state, enc_p, x_0, rng, K):
         def body(carry, k):
-            s, _ = carry
-            s, loss = train_step(s, enc_p, x_0, jax.random.fold_in(rng, k))
-            return (s, loss), None
-        (s, loss), _ = jax.lax.scan(body, (state, jnp.float32(0)),
-                                    jnp.arange(K))
+            s, x, _ = carry
+            x = jnp.roll(x, 1, axis=0)
+            s, loss = train_step(s, enc_p, x, jax.random.fold_in(rng, k))
+            return (s, x, loss), None
+        (s, _, loss), _ = jax.lax.scan(body, (state, x_0, jnp.float32(0)),
+                                       jnp.arange(K))
         return s, loss
 
     step_s, _ = _slope_time(multi, state, (enc_params, x_0, key),
@@ -163,14 +170,18 @@ def measure_manipulation_step(batch: int = 128,
     label = (jax.random.uniform(key, (batch, 40)) > 0.5).astype(jnp.int32)
     flops = _step_flops(train_step, state, enc_params, x_0, label)
 
+    # x_0 loop-carried + rolled per step for the same reason as in
+    # measure_latent_step: the frozen 128px encoder forward must not be
+    # hoisted out of the scan as loop-invariant (it is ~all the FLOPs).
     @partial(jax.jit, static_argnames="K", donate_argnums=0)
     def multi(state, enc_p, x_0, label, K):
         def body(carry, _):
-            s, _l = carry
-            s, loss = train_step(s, enc_p, x_0, label)
-            return (s, loss), None
-        (s, loss), _ = jax.lax.scan(body, (state, jnp.float32(0)),
-                                    jnp.arange(K))
+            s, x, _l = carry
+            x = jnp.roll(x, 1, axis=0)
+            s, loss = train_step(s, enc_p, x, label)
+            return (s, x, loss), None
+        (s, _, loss), _ = jax.lax.scan(body, (state, x_0, jnp.float32(0)),
+                                       jnp.arange(K))
         return s, loss
 
     step_s, _ = _slope_time(multi, state, (enc_params, x_0, label),
