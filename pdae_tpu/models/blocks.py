@@ -158,12 +158,16 @@ class FusedUpsampleConv3x3(nn.Module):
         return fused_upsample_conv3x3(x, kernel, bias, self.dtype)
 
 
-def _up_conv3x3(features, dtype, name):
-    """conv3x3-after-nearest-up, fused when the ops toggle is on.
-    Returns a module applied to the PRE-upsample tensor when fused, so
-    callers pass ``(pre_up, already_upsampled)`` and pick."""
+def _up_conv3x3(features, dtype, name, x=None):
+    """conv3x3-after-nearest-up, fused when the ops toggle is on (in
+    auto mode the static batch of ``x`` gates the small-batch latency
+    regime out -- ops.use_fused_upsample).  Returns a module applied to
+    the PRE-upsample tensor when fused, so callers pass
+    ``(pre_up, already_upsampled)`` and pick.  Both forms share the
+    param tree (kernel/bias, identical init), so the choice never
+    affects checkpoints."""
     from ..ops import use_fused_upsample
-    if use_fused_upsample():
+    if use_fused_upsample(None if x is None else x.shape[0]):
         return FusedUpsampleConv3x3(features, dtype=dtype, name=name), True
     return conv3x3(features, dtype=dtype, name=name), False
 
@@ -179,7 +183,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         if self.use_conv:
             conv, fused = _up_conv3x3(self.out_channels or self.channels,
-                                      self.dtype, "conv")
+                                      self.dtype, "conv", x)
             return conv(x if fused else upsample_nearest_2x(x))
         return upsample_nearest_2x(x)
 
@@ -222,7 +226,7 @@ class ResBlock(nn.Module):
         h = GNSiluChain(self.channels, self.dtype, name="in_norm")(x)
         if self.up:
             x = upsample_nearest_2x(x)
-            conv, fused = _up_conv3x3(out_ch, self.dtype, "in_conv")
+            conv, fused = _up_conv3x3(out_ch, self.dtype, "in_conv", h)
             h = conv(h if fused else upsample_nearest_2x(h))
         else:
             if self.down:
@@ -272,7 +276,7 @@ class ResBlockShift(nn.Module):
         h = GNSiluChain(self.channels, self.dtype, name="in_norm")(x)
         if self.up:
             x = upsample_nearest_2x(x)
-            conv, fused = _up_conv3x3(out_ch, self.dtype, "in_conv")
+            conv, fused = _up_conv3x3(out_ch, self.dtype, "in_conv", h)
             h = conv(h if fused else upsample_nearest_2x(h))
         else:
             if self.down:

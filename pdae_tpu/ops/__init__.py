@@ -42,7 +42,8 @@ def use_gn_train_vjp() -> bool:
     return jax.default_backend() == "tpu"
 
 
-_FUSED_UPSAMPLE = None  # tri-state: None = auto (TPU only)
+_FUSED_UPSAMPLE = None  # tri-state: None = auto (TPU, batch >= threshold)
+_FUSED_UPSAMPLE_MIN_BATCH = 8
 
 
 def set_fused_upsample(value):
@@ -50,16 +51,24 @@ def set_fused_upsample(value):
     lhs-dilated conv (ops/upsample_conv.py) -- no 4x-larger intermediate,
     2.25x fewer MACs on that conv.  Checkpoint trees are unchanged (the
     4x4 kernel is derived from the stored 3x3 at trace time).  None =
-    auto (on for TPU)."""
+    auto: on for TPU at batch >= 8, off at the small-batch latency
+    regime where the lhs-dilated conv tiles worse (chip-measured b1
+    @64px: fused 189 ms vs unfused 176 ms DDIM-100 -- PERF.md "128px
+    train breakdown"); True/False force it unconditionally."""
     global _FUSED_UPSAMPLE
     _FUSED_UPSAMPLE = value
 
 
-def use_fused_upsample() -> bool:
+def use_fused_upsample(batch=None) -> bool:
+    """``batch``: static leading-dim size at the trace site; in auto
+    mode batches under ``_FUSED_UPSAMPLE_MIN_BATCH`` keep the unfused
+    form (None = no batch information = fused on TPU, as before)."""
     if _FUSED_UPSAMPLE is not None:
         return _FUSED_UPSAMPLE
     import jax
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    return batch is None or batch >= _FUSED_UPSAMPLE_MIN_BATCH
 
 
 __all__ = ["fused_qkv_attention", "reference_attention",

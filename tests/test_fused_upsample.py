@@ -113,3 +113,30 @@ def test_gradients_toggle_equivalent(toggle):
                     jax.tree_util.tree_leaves(g_on)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-4)
+
+
+def test_auto_mode_batch_gate(monkeypatch):
+    """Auto mode (toggle None) gates on the static batch: fused only on
+    TPU at batch >= _FUSED_UPSAMPLE_MIN_BATCH.  Chip-measured reason: at
+    b1 @64px the lhs-dilated conv is ~7% SLOWER than up+conv (PERF.md
+    "128px train breakdown" addendum), while b>=8 wins everywhere.
+    True/False force the choice regardless of batch (the tests above and
+    real small-batch TPU pods rely on that)."""
+    assert ops._FUSED_UPSAMPLE is None  # auto (the toggle fixture resets)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert ops.use_fused_upsample() is True          # no batch info
+    assert ops.use_fused_upsample(1) is False        # latency regime
+    assert ops.use_fused_upsample(ops._FUSED_UPSAMPLE_MIN_BATCH - 1) is False
+    assert ops.use_fused_upsample(ops._FUSED_UPSAMPLE_MIN_BATCH) is True
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert ops.use_fused_upsample(64) is False       # never auto-on off-TPU
+    ops.set_fused_upsample(True)
+    try:
+        assert ops.use_fused_upsample(1) is True     # force wins
+    finally:
+        ops.set_fused_upsample(None)
+    ops.set_fused_upsample(False)
+    try:
+        assert ops.use_fused_upsample(64) is False
+    finally:
+        ops.set_fused_upsample(None)
