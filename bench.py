@@ -28,6 +28,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts"))
 
 # bf16 matmul peak by TPU generation (TFLOP/s per chip)
 PEAK_BF16_TFLOPS = {
@@ -319,8 +321,6 @@ def main():
         jax.profiler.start_trace(args.trace)
         jax.block_until_ready(r["fused"](r["params"], r["x_T"], r["z"]))
         jax.profiler.stop_trace()
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from summarize_trace import print_report, summarize
         summary = summarize(args.trace)
         device_lanes = {k: v for k, v in summary.items()
@@ -372,8 +372,6 @@ def main():
     # SHOW the dispatch gap steps_per_dispatch removes).
     train64 = train128 = None
     if not args.skip_train:
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from bench_train_step import measure_train_step
         peak_fl = peak * 1e12 if peak else None
         sweep = [measure_train_step(64, b, peak_flops=peak_fl)
@@ -408,8 +406,6 @@ def main():
     # train_manipulation.py:31-38); slope-timed, seconds of chip time
     train_latent = train_manip = None
     if not args.skip_stage34:
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from bench_stage34 import (measure_latent_step,
                                    measure_manipulation_step)
         peak_fl = peak * 1e12 if peak else None
@@ -504,7 +500,10 @@ def main():
         "dtype": args.dtype,
         "device": device,
         "peak_bf16_tflops": peak,
-        "fused_upsample": ops.use_fused_upsample(),
+        # what the BATCHED programs traced under the auto gate (the b1
+        # latency points in the same run trace unfused below batch 8 --
+        # PERF.md "128px train breakdown")
+        "fused_upsample": ops.use_fused_upsample(best64["batch"]),
         "host_loop_imgs_per_sec": host_imgs,
         "sweep_64px": [strip(r) for r in sweep64],
         "ddim100_128px": strip(best128) if best128 else None,

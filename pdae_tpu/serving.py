@@ -53,6 +53,15 @@ class PDAEService:
     replicated, activations H-sharded via the models' constrain_spatial
     hints -- a batch of 1 splits its rows across all K devices, the
     lowest-latency layout for the conv-dominated trunk).
+
+    Determinism note: on TPU the decoders' upsample convs switch to the
+    fused lhs-dilated form at static batch >= 8 (ops.use_fused_upsample,
+    PERF.md "128px train breakdown"), whose bf16 tap sums reassociate --
+    so the SAME request can differ at the ~1e-2-relative level depending
+    on the coalesced batch size it lands in.  Identical batch shapes are
+    bitwise deterministic.  ``ops.set_fused_upsample(False)`` before
+    building the service forces one numerics everywhere at a few percent
+    throughput cost.
     """
 
     def __init__(self, config: dict):

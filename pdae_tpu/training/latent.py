@@ -89,9 +89,6 @@ class LatentDiffusionTrainer(BaseTrainer):
 
         # frozen encoder/decoder params are explicit jit args (constants
         # would bloat the HLO; see representation.py note)
-        def enc_apply(ep, x_0):
-            return encoder.apply({"params": ep}, x_0)
-
         def dec_apply(dp, x_t, tt, zc):
             return decoder.apply({"params": dp}, x_t, tt, zc)
 

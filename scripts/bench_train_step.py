@@ -137,7 +137,10 @@ def measure_train_step(size: int, batch: int, remat=False,
         "size": size, "batch": batch, "remat": remat,
         "num_iters": num_iters,
         "gn_vjp": "on" if ops.use_gn_train_vjp() else "off",
-        "fused_upsample": "on" if ops.use_fused_upsample() else "off",
+        # report what the measured program actually traced: under the
+        # auto gate the per-iter batch decides (microbatching shrinks it)
+        "fused_upsample": ("on" if ops.use_fused_upsample(
+            batch // max(num_iters or 1, 1)) else "off"),
         "ms_per_step": round(step_s * 1e3, 2),
         "steps_per_sec": round(1.0 / step_s, 2),
         "imgs_per_sec": round(batch / step_s, 1),

@@ -72,9 +72,6 @@ def build_multi_compiled(size, batch, dtype_name="bfloat16", K=2,
 
 
 _DEF_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)\s+(\w+)\(")
-_SHAPE_RE = re.compile(r"(?:bf16|f32|f16|s32|u32|pred|s8|u8)\[[\d,]*\]")
-
-
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--size", type=int, default=128, choices=[64, 128])
@@ -92,6 +89,9 @@ def main(argv=None):
                         "trace-name-free attribution of where compile-time "
                         "cost modelling expects the time to go")
     p.add_argument("--k", type=int, default=2)
+    p.add_argument("--xla_option", action="append", default=[],
+                   metavar="K=V", help="XLA compiler option override, "
+                   "repeatable (same syntax as bench_train_step.py)")
     p.add_argument("--save_text", default=None, metavar="FILE",
                    help="write the compiled HLO text to FILE (compile once, "
                         "analyze offline with --load_text)")
@@ -110,7 +110,10 @@ def main(argv=None):
         with open(args.load_text) as f:
             text = f.read()
     else:
-        compiled = build_multi_compiled(args.size, args.batch, K=args.k)
+        opts = (dict(kv.split("=", 1) for kv in args.xla_option)
+                if args.xla_option else None)
+        compiled = build_multi_compiled(args.size, args.batch, K=args.k,
+                                        xla_options=opts)
         text = compiled.as_text()
     print(f"[HLO text: {len(text) / 1e6:.1f} MB]", file=sys.stderr)
     if args.save_text:

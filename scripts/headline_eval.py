@@ -88,6 +88,9 @@ def main(argv=None):
                         "well-defined on the piecewise-constant synthetic "
                         "corpus (see synthetic_batch)")
     args = p.parse_args(argv)
+    # a batch larger than the corpus slice would skip every eval batch
+    # (NaN metrics); clamp so small --eval_n smokes measure something
+    args.eval_batch = min(args.eval_batch, args.eval_n)
 
     if args.platform:
         import jax
