@@ -1,22 +1,47 @@
 #!/usr/bin/env python
 """Benchmark: PDAE throughput + MFU on one TPU chip.
 
-Default run produces the complete BASELINE.json metric set in ONE JSON line:
+Timeout-proof by construction (round-5 rework; BENCH_r04 was empty because
+a single end-of-run print sat behind a 25-40 min cold compile):
+
+  * a COMPACT cumulative JSON line (< ~1.5 KB, headline 64px point first)
+    is printed + flushed after EVERY completed section, so whatever the
+    driver's timeout, the last parseable line in its output tail holds
+    everything that finished;
+  * the full per-section detail (batch sweeps, FLOP counts, scan slopes)
+    goes to ``--detail_out`` (default records/bench_detail_last.json) --
+    it no longer rides the stdout line, which must fit a 2000-char tail;
+  * SIGTERM/SIGINT print the partial result before dying (``timeout``
+    sends SIGTERM; best-effort -- a handler cannot run while XLA holds
+    the interpreter in a C++ compile, which is exactly why the per-section
+    emission above is the primary mechanism);
+  * ``--budget_s`` (env BENCH_BUDGET_S, default 1800) skips remaining
+    sections once the wall-clock budget is spent, marking them
+    ``skipped: budget``, so the FINAL line still prints before any driver
+    timeout fires;
+  * every section runs under try/except -- one failed section records an
+    error string instead of killing the run.
+
+Wall-clock (measured round 5, this host over the tunnel): warm full suite
+~6-8 min; cold (no .jax_cache) 25-40 min -- the budget default covers the
+warm case and the cold 64px headline.
+
+Metrics (same set as BASELINE.json):
   * DDIM-100 sampling imgs/sec/chip through the flagship ShiftUNet decoder
-    at 64px (celeba64 geometry) AND 128px (ffhq geometry), batch-swept,
-    peak reported
-  * PDAE representation-learning train step: steps/sec/chip + imgs/sec
-    at 64px (fwd+bwd+adam+EMA as one jitted program)
-  * per-eval FLOPs (XLA cost analysis of a single model apply -- NB XLA
-    counts a lax.scan body once, so loop FLOPs = per-eval * steps),
-    achieved TFLOP/s, and MFU vs the chip's bf16 peak
+    at 64px (celeba64 geometry) AND 128px (ffhq geometry), batch-swept
+  * PDAE representation-learning train step at 64/128px (fwd+bwd+adam+EMA
+    as one jitted program), stage-3/4 train steps, batch-1 latencies,
+    DPM-Solver++(2M) fast decode + fast autoencode
+  * per-eval FLOPs (XLA cost analysis of ONE model apply -- lax.scan
+    bodies are counted once, so loop FLOPs = per-eval * steps), achieved
+    TFLOP/s, MFU vs the chip's bf16 peak
 
 ``vs_baseline`` compares the TPU-native execution model (whole DDIM loop
 fused into one XLA program via lax.scan) against the reference's execution
 model (one host-driven model dispatch per timestep with a host sync each
 step, as in /root/reference/diffusion/ddim.py:57-63) running the SAME
-jitted model on the SAME chip.  That isolates the framework-design win from
-the hardware.  The reference repo publishes no throughput numbers
+jitted model on the SAME chip.  That isolates the framework-design win
+from the hardware.  The reference repo publishes no throughput numbers
 (BASELINE.md), so ours are self-substantiating: see PERF.md for the
 profile-backed roofline analysis.
 """
@@ -24,6 +49,7 @@ profile-backed roofline analysis.
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -48,6 +74,80 @@ def chip_peak_tflops(device_str: str):
         if key in s:
             return peak
     return None
+
+
+class Emitter:
+    """Cumulative result stream: compact JSON line per completed section
+    on stdout (the driver keeps only a ~2KB output tail -- every line must
+    fit it whole), full detail mirrored to a JSON file."""
+
+    def __init__(self, detail_path: str, budget_s: float):
+        self.compact = {}      # the stdout line, insertion-ordered
+        self.detail = {}       # the file, unabridged
+        self.done = []
+        self.skipped = {}
+        self.detail_path = detail_path
+        self.t0 = time.perf_counter()
+        self.budget_s = budget_s
+        self._finalized = False
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def over_budget(self) -> bool:
+        return self.budget_s and self.elapsed() > self.budget_s
+
+    def section(self, name: str) -> bool:
+        """Gate a section on the wall budget; False = skip (recorded)."""
+        if self.over_budget():
+            self.skipped[name] = "budget"
+            return False
+        return True
+
+    def fail(self, name: str, err: BaseException):
+        self.skipped[name] = f"error: {type(err).__name__}: {err}"[:160]
+        print(f"[bench] section {name} failed: {err!r}", file=sys.stderr)
+
+    def emit(self, final: bool = False):
+        line = dict(self.compact)
+        line["done"] = self.done
+        if self.skipped:
+            line["skipped"] = self.skipped
+        line["partial"] = not final
+        line["elapsed_s"] = round(self.elapsed(), 1)
+        line["detail"] = self.detail_path
+        self.detail.update(line)
+        try:
+            d = os.path.dirname(self.detail_path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            tmp = self.detail_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.detail, f, indent=1)
+            os.replace(tmp, self.detail_path)
+        except OSError as e:
+            print(f"[bench] detail write failed: {e}", file=sys.stderr)
+        print(json.dumps(line), flush=True)
+
+    def finish(self, name: str):
+        self.done.append(name)
+        self.emit()
+
+    def install_signal_handlers(self):
+        def handler(signum, frame):
+            if self._finalized:
+                os._exit(1)
+            self._finalized = True
+            self.skipped["_signal"] = signal.Signals(signum).name
+            try:
+                self.emit(final=False)
+            finally:
+                os._exit(1)
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
 
 
 def main():
@@ -99,26 +199,44 @@ def main():
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the headline "
                         "sampling program into DIR and print the top-op "
-                        "summary to stderr (stdout stays one JSON line)")
+                        "summary to stderr (stdout stays JSON lines)")
     p.add_argument("--fused_upsample", default="auto",
                    choices=["auto", "on", "off"],
                    help="up-blocks' conv3x3(nearest_up) as one lhs-dilated "
                         "conv (ops/upsample_conv.py; auto = on for TPU)")
+    p.add_argument("--budget_s", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", "1800")),
+                   help="wall-clock budget; sections not started before it "
+                        "expires are skipped and marked, so the final JSON "
+                        "line always prints (default 1800, env "
+                        "BENCH_BUDGET_S)")
+    p.add_argument("--detail_out",
+                   default=os.path.join("records", "bench_detail_last.json"),
+                   help="full per-section detail JSON (the stdout lines "
+                        "stay compact so they fit the driver's output tail)")
+    p.add_argument("--cache_dir",
+                   default=os.environ.get("BENCH_CACHE_DIR"),
+                   help="override the persistent compile-cache dir "
+                        "(default .jax_cache next to this file; point at "
+                        "an empty dir to measure the cold-compile wall "
+                        "without discarding the warm cache)")
     args = p.parse_args()
+
+    em = Emitter(args.detail_out, args.budget_s)
+    em.install_signal_handlers()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = args.cache_dir or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     import jax.numpy as jnp
-    import numpy as np
 
     from pdae_tpu import ops
     if args.fused_upsample != "auto":
@@ -214,6 +332,7 @@ def main():
     def bench_host_loop(r, size, batch):
         """Reference execution model: one jitted dispatch per step with a
         host sync each step (like torch ddim.py:57-63 + .item())."""
+        import numpy as np
         model, params = r["model"], r["params"]
 
         @jax.jit
@@ -240,8 +359,10 @@ def main():
         host_dt = (time.perf_counter() - t0) * (steps / host_steps)
         return round(batch / host_dt, 3)
 
-    def bench_train(geometry, latent_dim, size, batch, n_steps):
-        import optax  # noqa: F401 (state.make_optimizer uses it)
+    def bench_train_dispatch_loop(geometry, latent_dim, size, batch,
+                                  n_steps):
+        """Legacy per-step dispatch loop + optional K-step scan; exists to
+        SHOW the dispatch gap steps_per_dispatch removes (--train_scan)."""
         from pdae_tpu.models import encoder_for_resolution
         from pdae_tpu.models.encoder import SemanticEncoder
         from pdae_tpu.training.partition import split_shift_unet
@@ -309,9 +430,8 @@ def main():
 
     def capture_trace(r):
         """Trace one rep of the headline sampling program; summary to
-        stderr so stdout stays one JSON line.  Never raises: a trace
-        failure must not discard the measured result (callers print the
-        JSON line after this)."""
+        stderr so stdout stays JSON lines.  Never raises: a trace failure
+        must not discard the measured result."""
         try:
             _capture_trace(r)
         except Exception as e:
@@ -330,13 +450,16 @@ def main():
               f"python scripts/summarize_trace.py {args.trace}]",
               file=sys.stderr)
 
+    strip = lambda r: {k: v for k, v in r.items()
+                       if k not in ("model", "params", "x_T", "z", "fused")}
+
     if args.quick:
         r = bench_sample(TINY_DPM, 16, 16, 8, reps=1)
         host = (None if args.skip_host_baseline
                 else bench_host_loop(r, 16, 8))
         if args.trace:
             capture_trace(r)
-        result = {
+        em.compact.update({
             "metric": f"ddim{steps}_imgs_per_sec_16px_tiny",
             "value": r["imgs_per_sec"],
             "unit": "imgs/sec/chip",
@@ -345,195 +468,263 @@ def main():
             "quick": True,
             "dtype": args.dtype,
             "device": device,
-        }
-        print(json.dumps(result))
+        })
+        em.done.append("quick")
+        em.emit(final=True)
         return
 
-    reps = 2
-    sweep64 = []
-    for b in [int(v) for v in args.batches64.split(",")]:
-        r = bench_sample(CELEBA64_DPM, 512, 64, b, reps)
-        sweep64.append(r)
-    best64 = max(sweep64, key=lambda r: r["imgs_per_sec"])
-    host_imgs = (None if args.skip_host_baseline
-                 else bench_host_loop(best64, 64, best64["batch"]))
-
-    sweep128 = []
-    if not args.skip_128:
-        for b in [int(v) for v in args.batches128.split(",")]:
-            sweep128.append(bench_sample(FFHQ128_DPM, 512, 128, b, reps))
-    best128 = (max(sweep128, key=lambda r: r["imgs_per_sec"])
-               if sweep128 else None)
-
-    # train points: K scanned steps, slope between two K values -- the
-    # honest device-time method (scripts/bench_train_step.py; dispatch
-    # idle and the ~25ms tunnel round-trip cancel in the slope).  The
-    # legacy dispatch-loop path remains behind --train_scan (it exists to
-    # SHOW the dispatch gap steps_per_dispatch removes).
-    train64 = train128 = None
-    if not args.skip_train:
-        from bench_train_step import measure_train_step
-        peak_fl = peak * 1e12 if peak else None
-        sweep = [measure_train_step(64, b, peak_flops=peak_fl)
-                 for b in [int(v)
-                           for v in args.train_batches64.split(",")]]
-        best_t = max(sweep, key=lambda r: r["imgs_per_sec"])
-        train64 = dict(best_t)
-        train64["sweep"] = sweep
-        if not args.skip_train_128:
-            remat128 = {"off": False, "full": True,
-                        "skips": "skips"}[args.remat128]
-            sweep128t = [measure_train_step(128, b, remat=remat128,
-                                            peak_flops=peak_fl)
-                         for b in [int(v)
-                                   for v in args.train_batches128.split(",")]]
-            train128 = dict(max(sweep128t, key=lambda r: r["imgs_per_sec"]))
-            train128["sweep"] = sweep128t
-        if args.train_scan > 1:
-            legacy = bench_train(CELEBA64_DPM, 512, 64, args.train_batch,
-                                 n_steps=12)
-            (train64 or {}).update(
-                {"dispatch_loop": {k: legacy[k] for k in
-                                   ("steps_per_sec", "imgs_per_sec",
-                                    "batch")},
-                 "scan_k": legacy.get("scan_k"),
-                 "scan_steps_per_sec": legacy.get("scan_steps_per_sec"),
-                 "scan_imgs_per_sec": legacy.get("scan_imgs_per_sec")})
-
-    # stages 3-4: latent-DPM (MLPSkipNet) + manipulation (Linear 512x40)
-    # train steps at the shipped config geometries -- the remaining two of
-    # the four trainer stages (reference train_latent_diffusion.py:72-93,
-    # train_manipulation.py:31-38); slope-timed, seconds of chip time
-    train_latent = train_manip = None
-    if not args.skip_stage34:
-        from bench_stage34 import (measure_latent_step,
-                                   measure_manipulation_step)
-        peak_fl = peak * 1e12 if peak else None
-        train_latent = measure_latent_step(args.stage34_batch,
-                                           peak_flops=peak_fl)
-        train_manip = measure_manipulation_step(args.stage34_batch,
-                                                peak_flops=peak_fl)
-
-    # serving latency: ONE image through the whole DDIM-100 decode (the
-    # batch-1 regime the resident service lives in; throughput numbers
-    # above can't be divided down to this -- the chip is underutilized
-    # at b1, so it must be measured)
-    latency_b1_ms = None
-    if not args.skip_latency:
-        r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4)
-        latency_b1_ms = round(1000.0 / r1["imgs_per_sec"], 1)
-
-    # fast decode: DPM-Solver++(2M) at ~5x fewer NFE through the same
-    # decoder (diffusion/dpm_solver.py) -- throughput at the best 64px
-    # batch + the batch-1 serving latency it unlocks
-    dpm_point = dpm_point128 = dpm_latency_b1_ms = None
-    if args.dpm_steps:
-        dpm_point = bench_sample(CELEBA64_DPM, 512, 64, best64["batch"],
-                                 reps, solver_steps=args.dpm_steps)
-        if not args.skip_latency:
-            r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4,
-                              solver_steps=args.dpm_steps)
-            dpm_latency_b1_ms = round(1000.0 / r1["imgs_per_sec"], 1)
-        if best128:
-            dpm_point128 = bench_sample(FFHQ128_DPM, 512, 128,
-                                        best128["batch"], reps,
-                                        solver_steps=args.dpm_steps)
-
-    # fast AUTOENCODE: dpm<N> encode (inversion on the reversed lambda
-    # grid) + dpm<N> decode through the same ShiftUNet -- the
-    # autoencoding_eval pattern (reference: ddim1000 encode + ddim100
-    # decode = 1100 chained evals) at 2N evals.  The semantic-encoder
-    # forward (~1 extra eval) is omitted, consistent with the decode
-    # points above.
-    ae_point = None
-    if args.dpm_steps:
-        n_ae = args.dpm_steps
-        enc_tables = gd.solver_tables(f"dpm{n_ae}", direction="encode")
-        dec_tables = gd.solver_tables(f"dpm{n_ae}")
-        model, params, x, t, z = build(CELEBA64_DPM, 512, 64,
-                                       best64["batch"])
-
-        @jax.jit
-        def ae_fused(p, x_0, zz):
-            dec = lambda xx, tt, zz_: model.apply({"params": p}, xx, tt, zz_)
-            x_T = dpm_lib.shift_dpm_solver_encode_loop(enc_tables, dec, zz,
-                                                       x_0)
-            return dpm_lib.shift_dpm_solver_sample_loop(dec_tables, dec, zz,
-                                                        x_T)
-
-        key = jax.random.PRNGKey(0)
-        x_0 = jnp.tanh(jax.random.normal(key, x.shape))
-        zz = jax.random.normal(key, z.shape)
-        jax.block_until_ready(ae_fused(params, x_0, zz))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = ae_fused(params, x_0, zz)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        n_evals = int(enc_tables.num_steps) + int(dec_tables.num_steps)
-        # the reference-pattern rate is DERIVED from the measured DDIM
-        # evals/s (1100 chained evals), not separately timed
-        ref_pattern = round(best64["denoise_steps_per_sec"] / 1100.0, 3)
-        ae_point = {
-            "batch": best64["batch"],
-            "imgs_per_sec": round(best64["batch"] / dt, 3),
-            "evals": n_evals,
-            "ddim_pattern_imgs_per_sec_derived": ref_pattern,
-            "speedup_vs_ddim_pattern": round(
-                best64["batch"] / dt / ref_pattern, 1) if ref_pattern
-            else None,
-        }
-
-    strip = lambda r: {k: v for k, v in r.items()
-                       if k not in ("model", "params", "x_T", "z", "fused")}
-    result = {
+    em.compact.update({
         "metric": f"ddim{steps}_imgs_per_sec_64px_shiftunet",
-        "value": best64["imgs_per_sec"],
+        "value": None,
         "unit": "imgs/sec/chip",
-        "vs_baseline": (round(best64["imgs_per_sec"] / host_imgs, 3)
-                        if host_imgs else None),
-        "denoise_steps_per_sec_per_chip": best64["denoise_steps_per_sec"],
-        "mfu_pct": best64["mfu_pct"],
-        "achieved_tflops": best64["achieved_tflops"],
-        "eval_gflops": best64["eval_gflops"],
-        "batch": best64["batch"],
+        "vs_baseline": None,
         "dtype": args.dtype,
         "device": device,
         "peak_bf16_tflops": peak,
-        # what the BATCHED programs traced under the auto gate (the b1
-        # latency points in the same run trace unfused below batch 8 --
-        # PERF.md "128px train breakdown")
-        "fused_upsample": ops.use_fused_upsample(best64["batch"]),
-        "host_loop_imgs_per_sec": host_imgs,
-        "sweep_64px": [strip(r) for r in sweep64],
-        "ddim100_128px": strip(best128) if best128 else None,
-        "sweep_128px": [strip(r) for r in sweep128],
-        "train_64px": train64,
-        "train_128px": train128,
-        "train_latent": train_latent,
-        "train_manipulation": train_manip,
-        "latency_b1_ms_ddim100_64px": latency_b1_ms,
-        f"dpm{args.dpm_steps}_64px": (strip(dpm_point) if dpm_point
-                                      else None),
-        f"latency_b1_ms_dpm{args.dpm_steps}_64px": dpm_latency_b1_ms,
-        f"dpm{args.dpm_steps}_128px": (strip(dpm_point128) if dpm_point128
-                                       else None),
-        f"autoencode_dpm{args.dpm_steps}_64px": ae_point,
-        # the reference's README-headline eval program (ddim1000 encode +
-        # ddim100 decode at ffhq128 geometry, autoencoding_eval.py):
-        # imgs/s derived from the measured 128px DDIM evals/s over its
-        # 1100 chained evals.  Directly-timed chip record (compile wall,
-        # HBM temp, roundtrip SSIM/MSE): scripts/headline_eval.py +
-        # PERF.md "Headline program @128px".
-        "headline_ddim1000p100_128px_derived": (
-            round(best128["denoise_steps_per_sec"] / 1100.0, 3)
-            if best128 else None),
-    }
+    })
+
+    reps = 2
+    # --- section: headline 64px DDIM sampling (per-batch emission: the
+    # first completed batch point already puts a headline on stdout) -----
+    sweep64, best64 = [], None
+    for b in [int(v) for v in args.batches64.split(",")]:
+        name = f"sample64_b{b}"
+        if not em.section(name):
+            continue
+        try:
+            r = bench_sample(CELEBA64_DPM, 512, 64, b, reps)
+        except Exception as e:
+            em.fail(name, e)
+            continue
+        sweep64.append(r)
+        best64 = max(sweep64, key=lambda r: r["imgs_per_sec"])
+        em.compact.update({
+            "value": best64["imgs_per_sec"],
+            "mfu_pct": best64["mfu_pct"],
+            "batch": best64["batch"],
+            "denoise_steps_per_sec_per_chip":
+                best64["denoise_steps_per_sec"],
+            # what the BATCHED programs traced under the auto gate (the b1
+            # latency points in the same run trace unfused below batch 8
+            # -- PERF.md "128px train breakdown")
+            "fused_upsample": ops.use_fused_upsample(best64["batch"]),
+        })
+        em.detail["sweep_64px"] = [strip(r) for r in sweep64]
+        em.detail["achieved_tflops"] = best64["achieved_tflops"]
+        em.detail["eval_gflops"] = best64["eval_gflops"]
+        em.finish(name)
+    if best64 is None:
+        em.emit(final=True)
+        print("[bench] no 64px point completed", file=sys.stderr)
+        return
+
+    # --- section: reference-execution-model host loop (vs_baseline) -----
+    if not args.skip_host_baseline and em.section("host_baseline"):
+        try:
+            host_imgs = bench_host_loop(best64, 64, best64["batch"])
+            em.compact["vs_baseline"] = round(
+                best64["imgs_per_sec"] / host_imgs, 3)
+            em.detail["host_loop_imgs_per_sec"] = host_imgs
+            em.finish("host_baseline")
+        except Exception as e:
+            em.fail("host_baseline", e)
+
+    # --- section: 128px DDIM sampling --------------------------------
+    best128 = None
+    if not args.skip_128 and em.section("sample128"):
+        try:
+            sweep128 = [bench_sample(FFHQ128_DPM, 512, 128, b, reps)
+                        for b in [int(v)
+                                  for v in args.batches128.split(",")]]
+            best128 = max(sweep128, key=lambda r: r["imgs_per_sec"])
+            em.compact["s128_imgs_s"] = best128["imgs_per_sec"]
+            em.compact["s128_mfu"] = best128["mfu_pct"]
+            em.detail["ddim100_128px"] = strip(best128)
+            em.detail["sweep_128px"] = [strip(r) for r in sweep128]
+            # the reference's README-headline eval program (ddim1000
+            # encode + ddim100 decode at ffhq128 geometry,
+            # autoencoding_eval.py): imgs/s DERIVED from the measured
+            # 128px DDIM **decode** evals/s over its 1100 chained evals.
+            # Assumption: the encode scan runs at the same per-eval rate
+            # as the decode scan -- they compile to slightly different
+            # programs, so this figure can drift from the directly-timed
+            # scripts/headline_eval.py record (PERF.md "Headline program
+            # @128px") without any code regression.
+            em.compact["headline128_derived"] = round(
+                best128["denoise_steps_per_sec"] / 1100.0, 3)
+            em.finish("sample128")
+        except Exception as e:
+            em.fail("sample128", e)
+
+    # --- sections: train steps (K scanned steps, slope between two K
+    # values -- the honest device-time method; dispatch idle and the
+    # ~25ms tunnel round-trip cancel in the slope).  The legacy
+    # dispatch-loop path remains behind --train_scan. ---------------------
+    if not args.skip_train:
+        from bench_train_step import measure_train_step
+        peak_fl = peak * 1e12 if peak else None
+        if em.section("train64"):
+            try:
+                sweep = [measure_train_step(64, b, peak_flops=peak_fl)
+                         for b in [int(v)
+                                   for v in args.train_batches64.split(",")]]
+                best_t = max(sweep, key=lambda r: r["imgs_per_sec"])
+                em.compact["train64_imgs_s"] = best_t["imgs_per_sec"]
+                em.compact["train64_mfu"] = best_t.get("mfu_pct")
+                train64 = dict(best_t)
+                train64["sweep"] = sweep
+                em.detail["train_64px"] = train64
+                em.finish("train64")
+            except Exception as e:
+                em.fail("train64", e)
+        if not args.skip_train_128 and em.section("train128"):
+            try:
+                remat128 = {"off": False, "full": True,
+                            "skips": "skips"}[args.remat128]
+                sweep128t = [
+                    measure_train_step(128, b, remat=remat128,
+                                       peak_flops=peak_fl)
+                    for b in [int(v)
+                              for v in args.train_batches128.split(",")]]
+                best_t = max(sweep128t, key=lambda r: r["imgs_per_sec"])
+                em.compact["train128_imgs_s"] = best_t["imgs_per_sec"]
+                em.compact["train128_mfu"] = best_t.get("mfu_pct")
+                train128 = dict(best_t)
+                train128["sweep"] = sweep128t
+                em.detail["train_128px"] = train128
+                em.finish("train128")
+            except Exception as e:
+                em.fail("train128", e)
+        if args.train_scan > 1 and em.section("train_dispatch_loop"):
+            try:
+                legacy = bench_train_dispatch_loop(
+                    CELEBA64_DPM, 512, 64, args.train_batch, n_steps=12)
+                em.detail["train_dispatch_loop"] = legacy
+                em.finish("train_dispatch_loop")
+            except Exception as e:
+                em.fail("train_dispatch_loop", e)
+
+    # --- section: stages 3-4 (latent-DPM MLPSkipNet + manipulation
+    # Linear 512x40) train steps at the shipped config geometries -- the
+    # remaining two of the four trainer stages (reference
+    # train_latent_diffusion.py:72-93, train_manipulation.py:31-38);
+    # slope-timed, seconds of chip time -----------------------------------
+    if not args.skip_stage34 and em.section("stage34"):
+        try:
+            from bench_stage34 import (measure_latent_step,
+                                       measure_manipulation_step)
+            peak_fl = peak * 1e12 if peak else None
+            tl = measure_latent_step(args.stage34_batch, peak_flops=peak_fl)
+            tm = measure_manipulation_step(args.stage34_batch,
+                                           peak_flops=peak_fl)
+            em.compact["latent_steps_s"] = tl.get("steps_per_sec")
+            em.compact["manip_steps_s"] = tm.get("steps_per_sec")
+            em.detail["train_latent"] = tl
+            em.detail["train_manipulation"] = tm
+            em.finish("stage34")
+        except Exception as e:
+            em.fail("stage34", e)
+
+    # --- section: batch-1 DDIM-100 serving latency (the chip is
+    # underutilized at b1, so it must be measured, not divided down) ------
+    if not args.skip_latency and em.section("latency_b1"):
+        try:
+            r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4)
+            em.compact["lat_b1_ms_ddim100"] = round(
+                1000.0 / r1["imgs_per_sec"], 1)
+            em.finish("latency_b1")
+        except Exception as e:
+            em.fail("latency_b1", e)
+
+    # --- sections: DPM-Solver++(2M) fast decode at ~5x fewer NFE --------
+    if args.dpm_steps:
+        n = args.dpm_steps
+        if em.section(f"dpm{n}_64"):
+            try:
+                r = bench_sample(CELEBA64_DPM, 512, 64, best64["batch"],
+                                 reps, solver_steps=n)
+                em.compact[f"dpm{n}_imgs_s"] = r["imgs_per_sec"]
+                em.detail[f"dpm{n}_64px"] = strip(r)
+                em.finish(f"dpm{n}_64")
+            except Exception as e:
+                em.fail(f"dpm{n}_64", e)
+        if not args.skip_latency and em.section(f"dpm{n}_b1"):
+            try:
+                r1 = bench_sample(CELEBA64_DPM, 512, 64, 1, reps=4,
+                                  solver_steps=n)
+                em.compact[f"lat_b1_ms_dpm{n}"] = round(
+                    1000.0 / r1["imgs_per_sec"], 1)
+                em.finish(f"dpm{n}_b1")
+            except Exception as e:
+                em.fail(f"dpm{n}_b1", e)
+        if best128 and em.section(f"dpm{n}_128"):
+            try:
+                r = bench_sample(FFHQ128_DPM, 512, 128, best128["batch"],
+                                 reps, solver_steps=n)
+                em.compact[f"dpm{n}_128_imgs_s"] = r["imgs_per_sec"]
+                em.detail[f"dpm{n}_128px"] = strip(r)
+                em.finish(f"dpm{n}_128")
+            except Exception as e:
+                em.fail(f"dpm{n}_128", e)
+
+        # fast AUTOENCODE: dpm<N> encode (inversion on the reversed
+        # lambda grid) + dpm<N> decode through the same ShiftUNet -- the
+        # autoencoding_eval pattern (reference: ddim1000 encode + ddim100
+        # decode = 1100 chained evals) at 2N evals.  The semantic-encoder
+        # forward (~1 extra eval) is omitted, consistent with the decode
+        # points above.
+        if em.section("autoencode"):
+            try:
+                enc_tables = gd.solver_tables(f"dpm{n}",
+                                              direction="encode")
+                dec_tables = gd.solver_tables(f"dpm{n}")
+                model, params, x, t, z = build(CELEBA64_DPM, 512, 64,
+                                               best64["batch"])
+
+                @jax.jit
+                def ae_fused(p, x_0, zz):
+                    dec = lambda xx, tt, zz_: model.apply({"params": p},
+                                                          xx, tt, zz_)
+                    x_T = dpm_lib.shift_dpm_solver_encode_loop(
+                        enc_tables, dec, zz, x_0)
+                    return dpm_lib.shift_dpm_solver_sample_loop(
+                        dec_tables, dec, zz, x_T)
+
+                key = jax.random.PRNGKey(0)
+                x_0 = jnp.tanh(jax.random.normal(key, x.shape))
+                zz = jax.random.normal(key, z.shape)
+                jax.block_until_ready(ae_fused(params, x_0, zz))
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = ae_fused(params, x_0, zz)
+                jax.block_until_ready(out)
+                dt = (time.perf_counter() - t0) / reps
+                n_evals = (int(enc_tables.num_steps)
+                           + int(dec_tables.num_steps))
+                # the reference-pattern rate is DERIVED from the measured
+                # DDIM decode evals/s (1100 chained evals), not
+                # separately timed (same same-rate assumption as
+                # headline128_derived above)
+                ref_pattern = round(
+                    best64["denoise_steps_per_sec"] / 1100.0, 3)
+                ae_imgs = round(best64["batch"] / dt, 3)
+                em.compact["ae_imgs_s"] = ae_imgs
+                em.detail[f"autoencode_dpm{n}_64px"] = {
+                    "batch": best64["batch"],
+                    "imgs_per_sec": ae_imgs,
+                    "evals": n_evals,
+                    "ddim_pattern_imgs_per_sec_derived": ref_pattern,
+                    "speedup_vs_ddim_pattern": round(
+                        ae_imgs / ref_pattern, 1) if ref_pattern else None,
+                }
+                em.finish("autoencode")
+            except Exception as e:
+                em.fail("autoencode", e)
 
     if args.trace:
         capture_trace(best64)
 
-    print(json.dumps(result))
+    em.emit(final=True)
 
 
 if __name__ == "__main__":
