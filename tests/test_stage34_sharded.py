@@ -72,20 +72,20 @@ def _tiny_encoder(config, image_size=None, dtype=jnp.float32):
                            attn_after_stage=2, dtype=dtype)
 
 
-@pytest.fixture(scope="module")
-def artifacts(tmp_path_factory):
-    """Synthesized stage-2 artifact (no need to train stages 1-2: the
-    sharding machinery under test only needs shape-correct, non-trivial
-    frozen trees).  Every leaf is perturbed -- fresh UNets have zero-init
-    output convs and would output EXACTLY zero, making the eval-path
-    comparison blind (round-2 parity-suite lesson)."""
-    mp = pytest.MonkeyPatch()
+def patch_tiny_encoders(mp: pytest.MonkeyPatch):
+    """Route stage-3/4 trainers' encoder factory to the CPU-sized one."""
     import pdae_tpu.training.latent as lat
     import pdae_tpu.training.manipulation as man
     mp.setattr(lat, "build_encoder", _tiny_encoder)
     mp.setattr(man, "build_encoder", _tiny_encoder)
 
-    root = tmp_path_factory.mktemp("stage34")
+
+def build_stage34_artifacts(root):
+    """Synthesized stage-2 artifact (no need to train stages 1-2: the
+    machinery under test only needs shape-correct, non-trivial frozen
+    trees).  Every leaf is perturbed -- fresh UNets have zero-init output
+    convs and would output EXACTLY zero, making eval-path comparisons
+    blind (round-2 parity-suite lesson)."""
     from pdae_tpu.models import build_decoder
     enc = _tiny_encoder({"latent_dim": 16})
     dec = build_decoder({"model": "ShiftUNet", "latent_dim": 16}, DDPM_MODEL)
@@ -109,6 +109,14 @@ def artifacts(tmp_path_factory):
                     {"mean": (0.1 * rs.standard_normal(16)).astype(
                          np.float32),
                      "std": (0.5 + rs.rand(16)).astype(np.float32)})
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    mp = pytest.MonkeyPatch()
+    patch_tiny_encoders(mp)
+    root = tmp_path_factory.mktemp("stage34")
+    build_stage34_artifacts(root)
     yield root
     mp.undo()
 
