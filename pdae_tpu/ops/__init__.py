@@ -59,16 +59,44 @@ def set_fused_upsample(value):
     _FUSED_UPSAMPLE = value
 
 
+def _ambient_data_degree() -> int:
+    """Data-axis size of the mesh the caller is tracing under (1 without
+    one).  The trace-site batch is the GLOBAL batch; on a data-parallel
+    mesh each chip sees batch/degree, which is the size that decides
+    whether the lhs-dilated conv can fill MXU rows.  Trainers and
+    PDAEService trace inside ``with mesh:``, so the ambient mesh is
+    visible here."""
+    try:
+        # jax.interpreters.pxla.thread_resources is deprecated (0.8.2+);
+        # the env-carrying object lives in jax._src.mesh
+        from jax._src.mesh import thread_resources
+        mesh = thread_resources.env.physical_mesh
+        if mesh is None or mesh.empty:
+            return 1
+        from ..parallel import mesh_data_axes
+        deg = 1
+        for a in mesh_data_axes(mesh):
+            deg *= int(mesh.shape[a])
+        return max(1, deg)
+    except Exception:
+        return 1
+
+
 def use_fused_upsample(batch=None) -> bool:
     """``batch``: static leading-dim size at the trace site; in auto
-    mode batches under ``_FUSED_UPSAMPLE_MIN_BATCH`` keep the unfused
-    form (None = no batch information = fused on TPU, as before)."""
+    mode PER-SHARD batches (global batch / ambient-mesh data degree)
+    under ``_FUSED_UPSAMPLE_MIN_BATCH`` keep the unfused form (None = no
+    batch information = fused on TPU, as before).  The per-shard divide
+    matters: a global batch of 32 on an 8-chip data mesh is 4 per chip --
+    exactly the small-batch regime the gate exists to avoid."""
     if _FUSED_UPSAMPLE is not None:
         return _FUSED_UPSAMPLE
     import jax
     if jax.default_backend() != "tpu":
         return False
-    return batch is None or batch >= _FUSED_UPSAMPLE_MIN_BATCH
+    if batch is None:
+        return True
+    return batch // _ambient_data_degree() >= _FUSED_UPSAMPLE_MIN_BATCH
 
 
 __all__ = ["fused_qkv_attention", "reference_attention",

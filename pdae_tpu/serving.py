@@ -54,14 +54,17 @@ class PDAEService:
     hints -- a batch of 1 splits its rows across all K devices, the
     lowest-latency layout for the conv-dominated trunk).
 
-    Determinism note: on TPU the decoders' upsample convs switch to the
-    fused lhs-dilated form at static batch >= 8 (ops.use_fused_upsample,
+    Determinism: on TPU the decoders' upsample convs can switch to the
+    fused lhs-dilated form by static batch (ops.use_fused_upsample,
     PERF.md "128px train breakdown"), whose bf16 tap sums reassociate --
-    so the SAME request can differ at the ~1e-2-relative level depending
-    on the coalesced batch size it lands in.  Identical batch shapes are
-    bitwise deterministic.  ``ops.set_fused_upsample(False)`` before
-    building the service forces one numerics everywhere at a few percent
-    throughput cost.
+    under the raw auto gate the SAME request could differ at the
+    ~1e-2-relative level depending on the coalesced batch size it landed
+    in.  The service therefore PINS the mode at construction
+    (``config["fused_upsample"]: "on" | "off" | "auto"``, default auto =
+    pick once by ``max_batch``): one service instance has one numerics
+    for every bucket, coalescing included.  The pin is process-global
+    (the gate is consulted at trace time), which is the normal serving
+    deployment; ``self.fused_upsample`` records what was pinned.
     """
 
     def __init__(self, config: dict):
@@ -73,6 +76,21 @@ class PDAEService:
             self.ctx._pdae_cfg["train_dataset_config"]["image_size"]))
         self.channels = int(config.get("image_channel", 3))
         self.max_batch = int(config.get("max_batch", 64))
+        # pin the fused-upsample numerics for this service (see class
+        # docstring): auto resolves ONCE from max_batch instead of
+        # per-trace from whatever batch the coalescer formed
+        from . import ops
+        fu = str(config.get("fused_upsample", "auto")).lower()
+        if fu in ("on", "true", "1"):
+            self.fused_upsample = True
+        elif fu in ("off", "false", "0"):
+            self.fused_upsample = False
+        elif fu == "auto":
+            self.fused_upsample = ops.use_fused_upsample(self.max_batch)
+        else:
+            raise ValueError(f"fused_upsample must be on|off|auto, "
+                             f"got {fu!r}")
+        ops.set_fused_upsample(self.fused_upsample)
         # tp_size > 1: tensor parallelism over local chips -- params
         # channel-shard over the 'model' axis, so a SINGLE image uses
         # every chip (lowest latency); batches shard over the remaining

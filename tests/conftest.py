@@ -29,3 +29,16 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _restore_op_gates():
+    """PDAEService pins ops.set_fused_upsample at construction (one
+    service = one numerics); keep that process-global pin from leaking
+    between tests."""
+    from pdae_tpu import ops
+    saved = (ops._FUSED_UPSAMPLE, ops._USE_PALLAS, ops._GN_TRAIN_VJP)
+    yield
+    ops._FUSED_UPSAMPLE, ops._USE_PALLAS, ops._GN_TRAIN_VJP = saved

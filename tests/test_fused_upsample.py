@@ -140,3 +140,39 @@ def test_auto_mode_batch_gate(monkeypatch):
         assert ops.use_fused_upsample(64) is False
     finally:
         ops.set_fused_upsample(None)
+
+
+def test_auto_mode_gates_on_per_shard_batch(monkeypatch):
+    """Under an active data-parallel mesh the auto gate divides the
+    trace-site (GLOBAL) batch by the mesh's data degree: a global batch
+    of 32 on an 8-chip data mesh is 4 per chip -- the small-batch regime
+    the gate exists to avoid (advisor round-4 finding)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from pdae_tpu.parallel import make_tp_mesh
+
+    assert ops._FUSED_UPSAMPLE is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    with mesh:
+        assert ops._ambient_data_degree() == 8
+        assert ops.use_fused_upsample(32) is False    # 4 per chip
+        assert ops.use_fused_upsample(64) is True     # 8 per chip
+        assert ops.use_fused_upsample() is True       # no batch info
+    # tp mesh: batch shards over 'data' only (model axis replicates it)
+    tp = make_tp_mesh(2, devices=jax.devices()[:8])   # data 4 x model 2
+    with tp:
+        assert ops._ambient_data_degree() == 4
+        assert ops.use_fused_upsample(32) is True     # 8 per chip
+        assert ops.use_fused_upsample(16) is False    # 4 per chip
+    # no mesh: global batch IS the per-chip batch
+    assert ops.use_fused_upsample(32) is True
+    # forcing still wins over the mesh-aware auto gate
+    ops.set_fused_upsample(True)
+    try:
+        with mesh:
+            assert ops.use_fused_upsample(1) is True
+    finally:
+        ops.set_fused_upsample(None)

@@ -404,3 +404,30 @@ def test_bench_serving_cli_smoke(capsys):
     direct, coalesced = out["settings"]
     assert direct["qps"] > 0 and coalesced["qps"] > 0
     assert coalesced["service_calls"] <= coalesced["requests"] == 2
+
+
+def test_service_pins_fused_upsample(stack):
+    """One service instance = one fused-upsample numerics (advisor
+    round-4 finding): the mode is pinned at construction instead of
+    flipping with whatever batch the coalescer forms.  On this CPU
+    backend auto resolves to off; explicit on/off force it; junk
+    raises."""
+    from pdae_tpu import ops
+    from pdae_tpu.serving import PDAEService
+
+    svc = PDAEService(_service_config(stack))          # auto
+    assert svc.fused_upsample is False                 # CPU: gate is off
+    assert ops._FUSED_UPSAMPLE is False                # pinned globally
+    # the pin makes every trace-site query batch-independent
+    assert ops.use_fused_upsample(1) is False
+    assert ops.use_fused_upsample(64) is False
+
+    svc_on = PDAEService(_service_config(stack, fused_upsample="on"))
+    assert svc_on.fused_upsample is True
+    assert ops.use_fused_upsample(1) is True
+
+    svc_off = PDAEService(_service_config(stack, fused_upsample="off"))
+    assert svc_off.fused_upsample is False
+
+    with pytest.raises(ValueError, match="fused_upsample"):
+        PDAEService(_service_config(stack, fused_upsample="sometimes"))
