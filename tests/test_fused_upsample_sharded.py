@@ -106,3 +106,29 @@ def test_tp_trainer_matches_replicated_with_fused_upsample(fused_on,
     for a, b in zip(_leaves(tr_rep.state.params),
                     _leaves(tr_tp.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_fsdp_tp_trainer_matches_replicated_with_fused_upsample(fused_on,
+                                                                tmp_path):
+    """Composed mode (verdict r4 #5): the 3x3 kernel leaf is sharded over
+    BOTH axes (channel dim on 'model', largest remaining on 'data') and
+    derive_k4 must still trace over it; trajectory equals replicated."""
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["runner_config"]["param_sharding"] = "fsdp+tp"
+    cfg["runner_config"]["tp_size"] = 2
+    cfg["runner_config"]["fsdp_min_size"] = 256
+    tr_rep = RegularDiffusionTrainer(config=copy.deepcopy(TINY_CONFIG),
+                                     run_path=str(tmp_path / "rep"))
+    tr_ft = RegularDiffusionTrainer(config=cfg,
+                                    run_path=str(tmp_path / "ft"))
+    # at least one leaf must actually be sharded over the model axis
+    axes_per_leaf = [
+        {a for e in l.sharding.spec if e is not None
+         for a in (e if isinstance(e, tuple) else (e,))}
+        for l in _leaves(tr_ft.state.params)]
+    assert any("model" in a for a in axes_per_leaf)
+    tr_rep.train(max_steps=4)
+    tr_ft.train(max_steps=4)
+    for a, b in zip(_leaves(tr_rep.state.params),
+                    _leaves(tr_ft.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

@@ -390,3 +390,68 @@ def test_tp_flagship_mlp_skip_net_guarded_compile():
     np.testing.assert_allclose(float(l), ref_l, rtol=1e-5)
     for a, b in zip(_leaves(ref_g), _leaves(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+# -- SP x manipulation: the 128px-conv-encoder stage IS SP's regime ------- #
+
+def _sp_opts(mode):
+    opts = {"param_sharding": mode, "sp_size": 2, "fsdp_min_size": 256}
+    return opts
+
+
+@pytest.mark.parametrize("mode", ["sp", "fsdp+sp"])
+def test_manipulation_trainer_sp_matches_replicated(
+        artifacts, manip_baseline, tmp_path, mode):
+    """Verdict r4 #5: the manipulation stage runs a conv encoder over
+    images -- exactly spatial parallelism's documented regime -- but no
+    sp/fsdp+sp cell existed for stages 3-4.  (The LATENT stage is the
+    documented N/A: MLPSkipNet has no spatial dims to shard -- see
+    PARITY.md.)  Assertions: the compiled train step halo-exchanges the
+    H-sharded encoder convs; fsdp+sp additionally shards the frozen
+    trees over 'data'; loss stream + eval grid equal the replicated
+    run."""
+    run = str(tmp_path / mode.replace("+", "_"))
+    tr = ManipulationTrainer(
+        config=manip_cfg(artifacts, extra=_sp_opts(mode)), run_path=run)
+
+    assert set(tr.mesh.axis_names) == {"data", "sp"}
+    if mode == "fsdp+sp":
+        # frozen encoder/decoder FSDP-shard over 'data'
+        assert _sharded_leaves(tr.encoder_params), \
+            "fsdp+sp: frozen encoder not sharded"
+        assert _sharded_leaves(tr.decoder_params)
+    else:
+        # pure sp replicates params; activations shard instead
+        assert not _sharded_leaves(tr.encoder_params)
+
+    tr.train(max_steps=4)
+
+    # (a) BCE-loss equality with the replicated baseline
+    losses = _losses(run, "bce_loss")
+    assert losses and len(losses) == len(manip_baseline["losses"])
+    np.testing.assert_allclose(losses, manip_baseline["losses"], rtol=1e-4)
+    for a, b in zip(manip_baseline["params"], _leaves(tr.state.params)):
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-3)
+
+    # structural proof: the jitted step's HLO carries halo
+    # collective-permutes (GSPMD kept the encoder activations H-sharded;
+    # loss equality alone would also pass under silent replication).
+    # Lower on a loader batch AFTER training so the baseline's batch
+    # stream is untouched.
+    hb = next(tr.loader.infinite())
+    db = {k: jax.device_put(np.asarray(v), tr.batch_sharding)
+          for k, v in hb.items()}
+    with tr.mesh:   # constrain_spatial hints only bind inside the mesh
+        txt = tr._train_step.lower(tr.state, tr.encoder_params, db
+                                   ).compile().as_text()
+    assert "collective-permute" in txt, \
+        f"{mode}: manipulation step compiled without halo exchange"
+
+    # (c) eval executes under the sp mesh and reproduces the grid
+    tr.evaluate(4, encode_style="ddim5", decode_style="ddim5",
+                class_id=2, scale=0.3)
+    grid = _grid(run)
+    assert grid.shape == manip_baseline["grid"].shape
+    diff = np.abs(grid.astype(np.int32)
+                  - manip_baseline["grid"].astype(np.int32))
+    assert diff.max() <= 1, f"{mode}: eval grid diverged (max {diff.max()})"
