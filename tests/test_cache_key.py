@@ -13,6 +13,8 @@ from pdae_tpu.utils.cache import (_cpu_flags, cpu_cache_dir,
                                   host_cpu_fingerprint)
 
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 def test_fingerprint_deterministic():
     assert host_cpu_fingerprint() == host_cpu_fingerprint()
     fp = host_cpu_fingerprint()

@@ -7,6 +7,8 @@ import numpy as np
 
 from pdae_tpu.diffusion import GaussianDiffusion, ddim, make_ddim_schedule
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 
 def py_ddim_sample_loop(dds, denoise_fn, x_T, condition=None):
     """Straightforward per-step python loop (mirrors the update equations)."""

@@ -23,6 +23,8 @@ import pytest
 from pdae_tpu.diffusion import GaussianDiffusion, ddim, dpm_solver
 from pdae_tpu.diffusion.schedules import extract
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 
 def _toy_denoise_fn(x, t, condition=None):
     tt = (t.astype(jnp.float32) / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))

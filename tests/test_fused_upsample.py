@@ -18,6 +18,8 @@ from pdae_tpu.models.blocks import (ResBlock, ResBlockShift, Upsample,
 from pdae_tpu.ops import fused_upsample_conv3x3
 from pdae_tpu.utils import init_key
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 
 @pytest.fixture
 def toggle():

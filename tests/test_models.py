@@ -10,6 +10,8 @@ from pdae_tpu.models import (LinearClassifier, MLPSkipNet, SemanticEncoder,
                              build_encoder, build_latent_denoise_fn,
                              encoder_for_resolution, timestep_embedding)
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 MNIST_UNET = dict(
     input_channel=1, base_channel=64, channel_multiplier=(1, 2, 2, 4),
     num_residual_blocks_of_a_block=2, attention_resolutions=(),

@@ -6,6 +6,8 @@ import pytest
 
 from pdae_tpu.diffusion import make_betas, make_ddim_schedule, make_schedule, respace
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 
 def test_linear_betas_endpoints():
     b = make_betas("linear", 1000)

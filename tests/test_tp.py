@@ -31,6 +31,8 @@ from pdae_tpu.training import RegularDiffusionTrainer
 
 from test_training_regular import TINY_CONFIG
 
+pytestmark = __import__("pytest").mark.quick  # fast tier (pytest.ini)
+
 
 def _tp_config(extra=None):
     cfg = copy.deepcopy(TINY_CONFIG)
