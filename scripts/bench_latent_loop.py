@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""REAL latent-training loop wall-clock: steps_per_dispatch K=1 vs K>1.
+
+VERDICT r4 #3: the latent step is ~4 ms of device time while a per-step
+dispatch over the TPU tunnel costs ~25 ms, so the real stage-3 loop is
+dispatch-bound by ~6x -- and the slope-timed bench
+(scripts/bench_stage34.py) deliberately cancels that cost out.  This
+script measures what a USER sees: it drives the actual
+``LatentDiffusionTrainer`` (loader -> chunked prefetch -> jitted
+scan -> metrics) at the shipped celeba64_latent.yml geometry (flagship
+frozen encoder, MLPSkipNet 2048x10, batch 128) over synthetic data, and
+times ``train()`` wall seconds per step for each K.
+
+    python scripts/bench_latent_loop.py --ks 1,8,32 --steps 96
+
+Reference counterpart being beaten: one host-driven step per dispatch,
+/root/reference/trainer/train_latent_diffusion.py:95-130.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DDPM_MODEL = {
+    "model": "UNet", "input_channel": 3, "base_channel": 128,
+    "channel_multiplier": [1, 2, 2, 4], "num_residual_blocks_of_a_block": 2,
+    "attention_resolutions": [16], "num_heads": 4, "head_channel": -1,
+    "use_new_attention_order": False, "dropout": 0.0,
+}
+
+PDAE_CFG = {
+    "encoder_config": {"model": "CELEBA64Encoder", "latent_dim": 512},
+    "decoder_config": {"model": "ShiftUNet", "latent_dim": 512},
+    "trained_ddpm_config": {"denoise_fn_config": DDPM_MODEL},
+    "diffusion_config": {"timesteps": 1000, "betas_type": "linear"},
+}
+
+
+def build_artifacts(root: str):
+    """Synthetic flagship-geometry stage-2 artifacts (weights random --
+    the loop timing does not care what the frozen encoder computes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdae_tpu.models import build_decoder, build_encoder
+    from pdae_tpu.utils import init_key, save_checkpoint
+
+    enc = build_encoder(PDAE_CFG["encoder_config"], image_size=64)
+    dec = build_decoder(PDAE_CFG["decoder_config"], DDPM_MODEL)
+    x = jnp.zeros((1, 64, 64, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, 512))
+    ep = jax.jit(enc.init)(init_key(0), x)["params"]
+    dp = jax.jit(dec.init)(init_key(1), x, t, z)["params"]
+    save_checkpoint(os.path.join(root, "pdae.ckpt"),
+                    {"ema_encoder": ep, "ema_decoder": dp})
+    rs = np.random.RandomState(0)
+    save_checkpoint(os.path.join(root, "latents.ckpt"),
+                    {"mean": (0.1 * rs.standard_normal(512)).astype(
+                         np.float32),
+                     "std": (0.5 + rs.rand(512)).astype(np.float32)})
+
+
+def latent_cfg(root: str, k: int, batch: int):
+    return {
+        "train_dataset_config": {
+            "name": "SYNTHETIC", "image_size": 64, "image_channel": 3,
+            "length": 4 * batch, "latent_dim": 512},
+        "eval_dataset_config": {},
+        "diffusion_config": {"timesteps": 1000, "betas_type": "linear"},
+        "trained_ddpm_config": {"denoise_fn_config": DDPM_MODEL},
+        "trained_representation_learning_config": PDAE_CFG,
+        "trained_representation_learning_checkpoint":
+            os.path.join(root, "pdae.ckpt"),
+        "inferred_latents": os.path.join(root, "latents.ckpt"),
+        # celeba64_latent.yml geometry
+        "latent_denoise_fn_config": {
+            "model": "MLPSkipNet", "input_channel": 512,
+            "model_channel": 2048, "num_layers": 10,
+            "time_emb_channel": 64, "use_norm": True, "dropout": 0.0},
+        "dataloader_config": {"train": {"num_workers": 1,
+                                        "batch_size": batch},
+                              "eval": {"num_generations": 1}},
+        "optimizer_config": {"name": "AdamW", "lr": 1e-3,
+                             "adam_betas": "(0.9, 0.999)",
+                             "adam_eps": 1e-8, "weight_decay": 0.01,
+                             "enable_amp": False},
+        "runner_config": {
+            "steps_per_dispatch": k,
+            "display_steps": 4 * k * 10 ** 4,
+            "evaluate_every_steps": 4 * k * 10 ** 6,
+            "save_latest_every_steps": 4 * k * 10 ** 6,
+            "save_checkpoint_every_steps": 4 * k * 10 ** 6,
+            "num_iterations": 1, "ema_every": 1, "ema_decay": 0.9999,
+            "compile": False},
+    }
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ks", default="1,8,32")
+    p.add_argument("--steps", type=int, default=96,
+                   help="timed steps per K (after a warm chunk)")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    root_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root_repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pdae_tpu.training import LatentDiffusionTrainer
+
+    work = tempfile.mkdtemp(prefix="latloop_")
+    try:
+        build_artifacts(work)
+        results = {}
+        for k in [int(v) for v in args.ks.split(",")]:
+            run = os.path.join(work, f"run_k{k}")
+            tr = LatentDiffusionTrainer(config=latent_cfg(work, k,
+                                                          args.batch),
+                                        run_path=run)
+            warm = 2 * k
+            tr.train(max_steps=warm)          # compile + first dispatches
+            n = (args.steps // k) * k or k
+            t0 = time.perf_counter()
+            tr.train(max_steps=warm + n)
+            dt = time.perf_counter() - t0
+            results[f"k{k}"] = {
+                "steps_per_sec": round(n / dt, 2),
+                "ms_per_step": round(1e3 * dt / n, 3),
+                "timed_steps": n,
+            }
+            print(f"[k={k}: {n} steps in {dt:.2f}s = {n/dt:.1f} steps/s]",
+                  file=sys.stderr)
+        base = results.get("k1", {}).get("steps_per_sec")
+        for k, r in results.items():
+            r["speedup_vs_k1"] = (round(r["steps_per_sec"] / base, 2)
+                                  if base else None)
+        print(json.dumps({"what": "real_latent_loop_wall",
+                          "batch": args.batch,
+                          "device": str(jax.devices()[0]),
+                          **results}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
