@@ -23,8 +23,14 @@ a single end-of-run print sat behind a 25-40 min cold compile):
     error string instead of killing the run.
 
 Wall-clock (measured round 5, this host over the tunnel): warm full suite
-~6-8 min; cold (no .jax_cache) 25-40 min -- the budget default covers the
-warm case and the cold 64px headline.
+844 s (12/12 sections, records/bench_r05_full_suite.json); cold 64px
+headline alone 245-540 s depending on host load; full cold 25-40 min.
+A clean checkout is NOT fully cold: the committed cache seed
+(records/jax_cache_seed/, ~52 MB, copied into .jax_cache at startup)
+makes the headline section warm -- measured: `timeout 300 python
+bench.py` from a clean cache captured the 64px headline + host baseline
++ the 128px point before the timeout.  The budget default covers the
+warm suite with margin.
 
 Metrics (same set as BASELINE.json):
   * DDIM-100 sampling imgs/sec/chip through the flagship ShiftUNet decoder
@@ -158,8 +164,12 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--ddim_steps", type=int, default=100)
-    p.add_argument("--batches64", default="16,32",
-                   help="default trimmed for driver wall-clock; the full\n                   batch sweep (16,32,64) is recorded in PERF.md")
+    p.add_argument("--batches64", default="16",
+                   help="default trimmed to the single peak point: "
+                        "throughput is FLAT in batch from 16 up "
+                        "(PERF.md round-2 sweep; 16,32,64 recorded "
+                        "there), and every extra batch is another "
+                        "multi-minute cold compile in a driver run")
     p.add_argument("--batches128", default="8")
     p.add_argument("--train_batch", type=int, default=32,
                    help="per-chip train batch for the legacy --train_scan "
@@ -229,8 +239,29 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
-    cache_dir = args.cache_dir or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache_dir = args.cache_dir or os.path.join(here, ".jax_cache")
+    # seed the persistent cache with the committed headline-program
+    # entries (records/jax_cache_seed/): a clean checkout has no
+    # .jax_cache (gitignored, GBs), so a driver cold run used to spend
+    # ~4-10 min compiling before the FIRST data point could print.
+    # NB the cache key is path-sensitive in this environment (measured:
+    # entries built under a different cache dir never hit), so the seed
+    # was built at the default <repo>/.jax_cache path -- it only helps
+    # the default invocation from this repo location, which is exactly
+    # the driver's.
+    seed_dir = os.path.join(here, "records", "jax_cache_seed")
+    if os.path.isdir(seed_dir):
+        import shutil
+        os.makedirs(cache_dir, exist_ok=True)
+        for name in os.listdir(seed_dir):
+            dst = os.path.join(cache_dir, name)
+            if not os.path.exists(dst):
+                try:
+                    shutil.copy2(os.path.join(seed_dir, name), dst)
+                except OSError as e:
+                    print(f"[bench] cache seed copy failed: {e}",
+                          file=sys.stderr)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
