@@ -294,11 +294,23 @@ class SYNTHETIC:
         # multilabel=N emits +/-1 attribute vectors of size N (CelebA-HQ
         # style) instead of int class ids
         self.multilabel = int(config.get("multilabel", 0))
+        # preload: generate every item once at construction.  Benchmarks
+        # use this to emulate a host whose input pipeline keeps up with
+        # the device (real TPU hosts have >100 vCPUs; this VM has 1 --
+        # per-item procedural generation is the bottleneck otherwise).
+        self._cache = None
+        if config.get("preload", False):
+            self._cache = [self._generate(i) for i in range(self.length)]
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, index, rng=None):
+        if self._cache is not None:
+            return self._cache[index]
+        return self._generate(index)
+
+    def _generate(self, index):
         rs = np.random.RandomState(index)
         base = rs.rand(8, 8, self.image_channel).astype(np.float32)
         # smooth upsample to image_size

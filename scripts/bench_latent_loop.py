@@ -68,11 +68,11 @@ def build_artifacts(root: str):
                      "std": (0.5 + rs.rand(512)).astype(np.float32)})
 
 
-def latent_cfg(root: str, k: int, batch: int):
+def latent_cfg(root: str, k: int, batch: int, preload: bool = False):
     return {
         "train_dataset_config": {
             "name": "SYNTHETIC", "image_size": 64, "image_channel": 3,
-            "length": 4 * batch, "latent_dim": 512},
+            "length": 4 * batch, "latent_dim": 512, "preload": preload},
         "eval_dataset_config": {},
         "diffusion_config": {"timesteps": 1000, "betas_type": "linear"},
         "trained_ddpm_config": {"denoise_fn_config": DDPM_MODEL},
@@ -109,6 +109,11 @@ def main():
     p.add_argument("--steps", type=int, default=96,
                    help="timed steps per K (after a warm chunk)")
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--preload", action="store_true",
+                   help="pre-generate the synthetic items so the loader "
+                        "is ~free (emulates a real >100-vCPU TPU host; "
+                        "without it this 1-vCPU VM is loader-bound at "
+                        "~2 steps/s and K is irrelevant)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -129,7 +134,8 @@ def main():
         for k in [int(v) for v in args.ks.split(",")]:
             run = os.path.join(work, f"run_k{k}")
             tr = LatentDiffusionTrainer(config=latent_cfg(work, k,
-                                                          args.batch),
+                                                          args.batch,
+                                                          args.preload),
                                         run_path=run)
             warm = 2 * k
             tr.train(max_steps=warm)          # compile + first dispatches
@@ -149,6 +155,7 @@ def main():
             r["speedup_vs_k1"] = (round(r["steps_per_sec"] / base, 2)
                                   if base else None)
         print(json.dumps({"what": "real_latent_loop_wall",
+                          "preload": bool(args.preload),
                           "batch": args.batch,
                           "device": str(jax.devices()[0]),
                           **results}))

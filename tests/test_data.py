@@ -120,6 +120,17 @@ def test_synthetic_and_loader_sharding():
     assert not np.array_equal(seen0, e1)
 
 
+def test_synthetic_preload_identical_items():
+    cfg = {"image_size": 16, "image_channel": 3, "length": 12}
+    lazy = SYNTHETIC(cfg)
+    hot = SYNTHETIC({**cfg, "preload": True})
+    for i in range(12):
+        a, b = lazy[i], hot[i]
+        np.testing.assert_array_equal(a["x_0"], b["x_0"])
+        np.testing.assert_array_equal(a["gt"], b["gt"])
+        assert a["label"] == b["label"]
+
+
 def test_loader_infinite_and_batch_shapes():
     ds = SYNTHETIC({"image_size": 16, "image_channel": 1, "length": 20})
     loader = Loader(ds, batch_size=4, shuffle=False, process_index=0,
