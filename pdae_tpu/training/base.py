@@ -601,7 +601,8 @@ class BaseTrainer:
 
     # -- loop ------------------------------------------------------------ #
 
-    def train(self, max_steps: Optional[int] = None):
+    def train(self, max_steps: Optional[int] = None,
+              save_on_exit: bool = True):
         rc = self.runner_config
         display = int(rc.get("display_steps", 100))
         eval_every = int(rc.get("evaluate_every_steps", 5000))
@@ -725,8 +726,11 @@ class BaseTrainer:
                     self.evaluate(step)
             # final save (normal exit only -- short and preempted runs
             # always leave a checkpoint; on an exception the last GOOD
-            # checkpoint must not be overwritten mid-flight)
-            if step != last_saved:
+            # checkpoint must not be overwritten mid-flight).
+            # save_on_exit=False lets step-loop benchmarks segment a run
+            # into timed train() calls without paying a full state gather
+            # + serialize per segment (scripts/bench_latent_loop.py).
+            if step != last_saved and save_on_exit:
                 self.save(step)
         finally:
             # an exception mid-loop must not leak the replaced signal

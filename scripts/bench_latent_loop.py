@@ -138,10 +138,15 @@ def main():
                                                           args.preload),
                                         run_path=run)
             warm = 2 * k
-            tr.train(max_steps=warm)          # compile + first dispatches
+            # save_on_exit=False: train() normally checkpoints on exit,
+            # and a full MLPSkipNet state gather+msgpack (~700 MB on this
+            # geometry) inside the timed window once inflated ms_per_step
+            # ~8x and produced a bogus "loader-bound" verdict
+            # (records/latent_loop_r05_loaderbound.json, superseded).
+            tr.train(max_steps=warm, save_on_exit=False)  # compile+warm
             n = (args.steps // k) * k or k
             t0 = time.perf_counter()
-            tr.train(max_steps=warm + n)
+            tr.train(max_steps=warm + n, save_on_exit=False)
             dt = time.perf_counter() - t0
             results[f"k{k}"] = {
                 "steps_per_sec": round(n / dt, 2),
