@@ -36,15 +36,25 @@ def _resize_pil(img, size: int):
     return img
 
 
-def _finalize(img, rng: Optional[np.ndarray], augmentation: bool):
+def _finalize(img, rng: Optional[np.ndarray], augmentation: bool,
+              as_uint8: bool = False):
     """PIL image -> (x_0 float32 [-1,1] HWC, gt uint8 HWC) with optional
     random hflip.  gt rounding matches the reference's
-    ``mul(255).add(0.5).clamp`` (dataset/celeba64.py:75)."""
+    ``mul(255).add(0.5).clamp`` (dataset/celeba64.py:75).
+
+    ``as_uint8`` (dataset config ``transfer_uint8``) keeps x_0 as the raw
+    uint8 pixels so 4x fewer bytes cross host->device; the jitted train
+    steps normalize on device with the SAME fp32 op sequence
+    (``utils.x0_from_transfer``), so the result is bitwise identical to
+    the host float path (tests/test_transfer_diet.py).  Note gt ==
+    uint8(arr) exactly: floor(arr/255*255 + 0.5) == arr for every uint8."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if augmentation and rng is not None and rng.random() < 0.5:
         arr = arr[:, ::-1, :]
+    if as_uint8:
+        return np.ascontiguousarray(arr), np.ascontiguousarray(arr)
     x01 = arr.astype(np.float32) / 255.0
     x_0 = x01 * 2.0 - 1.0
     gt = np.clip(np.floor(x01 * 255.0 + 0.5), 0, 255).astype(np.uint8)
@@ -69,6 +79,10 @@ class LMDBImageDataset:
         # automatically when the .so is absent or input isn't JPEG; pixel
         # parity vs PIL is within +/-1 uint8 step (tests/test_data.py).
         self.fast_decode = bool(config.get("fast_decode", True))
+        # transfer_uint8: emit x_0 as raw uint8 (4x fewer host->device
+        # bytes; exact -- see _finalize).  Train-dataset option; the
+        # samplers' metric paths expect float x_0.
+        self.transfer_uint8 = bool(config.get("transfer_uint8", False))
         self._reader: Optional[Reader] = None
         self._reader_lock = threading.Lock()
 
@@ -110,7 +124,7 @@ class LMDBImageDataset:
 
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         img = self._load_image(index)
-        x_0, gt = _finalize(img, rng, self.augmentation)
+        x_0, gt = _finalize(img, rng, self.augmentation, self.transfer_uint8)
         return {"idx": index, "x_0": x_0, "gt": gt}
 
     @staticmethod
@@ -226,6 +240,7 @@ class MNIST:
         self.config = config
         self.image_size = int(config["image_size"])
         self.train = bool(config.get("train", True))
+        self.transfer_uint8 = bool(config.get("transfer_uint8", False))
         base = config["data_path"]
         prefix = "train" if self.train else "t10k"
         self.images, self.labels = self._load_idx(base, prefix)
@@ -264,7 +279,7 @@ class MNIST:
         from PIL import Image
         img = Image.fromarray(self.images[index])
         img = _resize_pil(img, self.image_size)
-        x_0, gt = _finalize(img, None, False)
+        x_0, gt = _finalize(img, None, False, self.transfer_uint8)
         return {"idx": index, "x_0": x_0, "gt": gt,
                 "label": int(self.labels[index])}
 
@@ -294,6 +309,10 @@ class SYNTHETIC:
         # multilabel=N emits +/-1 attribute vectors of size N (CelebA-HQ
         # style) instead of int class ids
         self.multilabel = int(config.get("multilabel", 0))
+        # transfer_uint8: unlike the image datasets (where it is exact),
+        # synthetic x_0 is float-born, so this swaps in the quantized gt
+        # (1/255-step numerics change) -- benchmark/smoke use only.
+        self.transfer_uint8 = bool(config.get("transfer_uint8", False))
         # preload: generate every item once at construction.  Benchmarks
         # use this to emulate a host whose input pipeline keeps up with
         # the device (real TPU hosts have >100 vCPUs; this VM has 1 --
@@ -316,8 +335,8 @@ class SYNTHETIC:
         # smooth upsample to image_size
         reps = self.image_size // 8
         img = np.kron(base, np.ones((reps, reps, 1), np.float32))
-        x_0 = img * 2.0 - 1.0
         gt = np.clip(np.floor(img * 255.0 + 0.5), 0, 255).astype(np.uint8)
+        x_0 = gt if self.transfer_uint8 else img * 2.0 - 1.0
         if self.multilabel:
             label = (rs.randint(0, 2, (self.multilabel,)) * 2 - 1).astype(
                 np.int32)

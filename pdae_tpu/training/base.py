@@ -252,6 +252,27 @@ class BaseTrainer:
             shuffle=True, seed=self.seed,
             num_workers=int(dl.get("num_workers", 4)))
 
+    def _step_batch_keys(self):
+        """Batch keys the jitted train step consumes (None = all).  The
+        iterators drop every other key BEFORE host->device transfer: the
+        loaders' ``gts``/``idx`` are eval/debug-only, and on a
+        transfer-bound host (PERF.md "The REAL stage-3 loop") dead bytes
+        are wall-clock.  Filtering never changes the batch STREAM, so
+        bitwise-deterministic resume is unaffected."""
+        return None
+
+    def _filter_batch_keys(self, it: Iterator[dict]) -> Iterator[dict]:
+        keys = self._step_batch_keys()
+        if keys is None:
+            return it
+        keep = tuple(keys)
+
+        def gen():
+            for b in it:
+                yield {k: b[k] for k in keep if k in b}
+
+        return gen()
+
     def _batch_iterator(self, start_step: int = 0) -> Iterator[dict]:
         """Batch stream, fast-forwarded so step N always consumes the batch
         an uninterrupted run would (bitwise-deterministic resume; the
@@ -259,7 +280,8 @@ class BaseTrainer:
         base_trainer.py:112-125, so its resumed runs repeat data)."""
         epoch, offset = divmod(start_step, self.loader.batches_per_epoch())
         return prefetch_to_device(
-            self.loader.infinite(start_epoch=epoch, skip_batches=offset),
+            self._filter_batch_keys(
+                self.loader.infinite(start_epoch=epoch, skip_batches=offset)),
             size=2, sharding=self.batch_sharding)
 
     # -- param placement --------------------------------------------------- #
@@ -369,7 +391,8 @@ class BaseTrainer:
 
         from ..parallel import mesh_data_axes
         epoch, offset = divmod(start_step, self.loader.batches_per_epoch())
-        host_it = self.loader.infinite(start_epoch=epoch, skip_batches=offset)
+        host_it = self._filter_batch_keys(
+            self.loader.infinite(start_epoch=epoch, skip_batches=offset))
 
         def stacked():
             for c in self._chunk_schedule(start_step, k, max_steps):

@@ -19,7 +19,8 @@ import numpy as np
 
 from ..diffusion import GaussianDiffusion
 from ..models import build_decoder, build_encoder, build_latent_denoise_fn
-from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils import (init_key, process_key, restore_into, save_image_grid,
+                     to_uint8, x0_from_transfer)
 from ..utils.rng import step_key
 from .artifacts import load_latent_stats, load_pdae, resolve_model_config
 from .base import BaseTrainer
@@ -101,7 +102,8 @@ class LatentDiffusionTrainer(BaseTrainer):
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, enc_p, batch):
             rng = step_key(self._base_rng, state.step)
-            state, loss = base_step(state, enc_p, batch["x_0"], rng)
+            state, loss = base_step(state, enc_p,
+                                    x0_from_transfer(batch["x_0"]), rng)
             return state, {"prediction_loss": loss}
 
         self._train_step = train_step
@@ -124,6 +126,9 @@ class LatentDiffusionTrainer(BaseTrainer):
 
     def _step_extra_args(self):
         return (self.encoder_params,)
+
+    def _step_batch_keys(self):
+        return ("x_0",)
 
     def evaluate(self, step: int, latent_ddim_style: str = "ddim100",
                  decoder_ddim_style: str = "ddim100"):

@@ -20,7 +20,8 @@ import numpy as np
 from ..diffusion import GaussianDiffusion
 from ..models import (LinearClassifier, build_classifier, build_decoder,
                       build_encoder)
-from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils import (init_key, process_key, restore_into, save_image_grid,
+                     to_uint8, x0_from_transfer)
 from ..utils.rng import step_key
 from .artifacts import load_latent_stats, load_pdae, resolve_model_config
 from .base import BaseTrainer
@@ -101,7 +102,8 @@ class ManipulationTrainer(BaseTrainer):
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, enc_p, batch):
-            state, loss = base_step(state, enc_p, batch["x_0"],
+            state, loss = base_step(state, enc_p,
+                                    x0_from_transfer(batch["x_0"]),
                                     batch["label"])
             return state, {"bce_loss": loss}
 
@@ -132,6 +134,9 @@ class ManipulationTrainer(BaseTrainer):
     def _step_extra_args(self):
         return (self.encoder_params,)
 
+    def _step_batch_keys(self):
+        return ("x_0", "label")
+
     def evaluate(self, step: int, encode_style: str = "ddim500",
                  decode_style: str = "ddim200", class_id: int = 31,
                  scale: float = 0.3):
@@ -150,7 +155,7 @@ class ManipulationTrainer(BaseTrainer):
             return
         items = [self.eval_dataset.__getitem__(i) for i in range(1)]
         batch = type(self.eval_dataset).collate_fn(items)
-        x_0 = jnp.asarray(batch["x_0"])
+        x_0 = jnp.asarray(x0_from_transfer(batch["x_0"]))
         x_T = self._encode_fn(enc, dec, x_0, encode_style)
         imgs = np.asarray(self._manip_fn(ema, enc, dec, x_0, x_T,
                                          decode_style, class_id, scale))

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..diffusion import GaussianDiffusion
 from ..models import build_denoise_fn
-from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils import (init_key, process_key, restore_into, save_image_grid,
+                     to_uint8, x0_from_transfer)
 from ..utils.rng import step_key
 from .base import BaseTrainer
 from .state import (TrainState, accumulate_grads, make_optimizer,
@@ -87,7 +88,8 @@ class RegularDiffusionTrainer(BaseTrainer):
                 return out["prediction_loss"]
 
             loss, grads = accumulate_grads(
-                loss_fn, state.params, batch["x_0"], rng, num_iters,
+                loss_fn, state.params, x0_from_transfer(batch["x_0"]), rng,
+                num_iters,
                 cond=batch.get("condition") if conditional else None)
 
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -112,6 +114,10 @@ class RegularDiffusionTrainer(BaseTrainer):
 
     def train_step(self, state, batch):
         return self._train_step(state, batch)
+
+    def _step_batch_keys(self):
+        return (("x_0", "condition")
+                if self.model.num_class is not None else ("x_0",))
 
     def evaluate(self, step: int, ddim_style: str = "ddim100"):
         n = int(self.dataloader_config.get("eval", {})

@@ -28,7 +28,8 @@ import numpy as np
 
 from ..diffusion import GaussianDiffusion
 from ..models import build_decoder, build_encoder
-from ..utils import init_key, process_key, restore_into, save_image_grid, to_uint8
+from ..utils import (init_key, process_key, restore_into, save_image_grid,
+                     to_uint8, x0_from_transfer)
 from ..utils.rng import step_key
 from .artifacts import (graft_ddpm_into_decoder, load_ddpm_params,
                         resolve_model_config)
@@ -125,7 +126,8 @@ class RepresentationLearningTrainer(BaseTrainer):
                 return out["prediction_loss"]
 
             loss, grads = accumulate_grads(
-                loss_fn, state.params, batch["x_0"], rng, num_iters)
+                loss_fn, state.params, x0_from_transfer(batch["x_0"]), rng,
+                num_iters)
 
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(jnp.add, state.params, updates)
@@ -153,6 +155,9 @@ class RepresentationLearningTrainer(BaseTrainer):
     def train_step(self, state, batch):
         return self._train_step(state, self.frozen_params, batch)
 
+    def _step_batch_keys(self):
+        return ("x_0",)
+
     def _step_extra_args(self):
         return (self.frozen_params,)
 
@@ -162,7 +167,7 @@ class RepresentationLearningTrainer(BaseTrainer):
         # same eval batch + x_T on every process; each decodes its slice,
         # primary gathers and writes (multi-host-safe, count-invariant)
         eval_batch = self._eval_batch(n)
-        x_0 = jnp.asarray(eval_batch["x_0"])
+        x_0 = jnp.asarray(x0_from_transfer(eval_batch["x_0"]))
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
         x_T = jax.random.normal(key, x_0.shape)
         local, offset = self._eval_shard(x_0.shape[0])

@@ -9,7 +9,7 @@ from .sharded_checkpoint import (extract_local_shards, is_sharded_checkpoint,
                                  save_sharded_checkpoint, write_manifest,
                                  write_shard_file)
 from .image import (from_uint8, make_grid, paste_rows, save_image_grid,
-                    to_uint8)
+                    to_uint8, x0_from_transfer)
 from .rng import BASE_SEED, init_key, process_key, step_key
 
 __all__ = [
@@ -23,6 +23,7 @@ __all__ = [
     "load_sharded_checkpoint", "manifest_skeleton",
     "save_sharded_checkpoint", "write_manifest", "write_shard_file",
     "from_uint8", "make_grid",
-    "paste_rows", "save_image_grid", "to_uint8", "BASE_SEED", "init_key",
+    "paste_rows", "save_image_grid", "to_uint8", "x0_from_transfer",
+    "BASE_SEED", "init_key",
     "process_key", "step_key",
 ]

@@ -26,6 +26,22 @@ def from_uint8(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, dtype=np.float32) / 127.5 - 1.0
 
 
+def x0_from_transfer(x):
+    """Batch ``x_0`` as transferred -> model-ready float [-1,1].
+
+    Identity for float inputs.  For ``transfer_uint8`` batches (raw uint8
+    pixels, 4x fewer host->device bytes -- datasets.py::_finalize) it
+    applies the EXACT host op sequence (/255.0 then *2.0-1.0, fp32) on
+    device, so the uint8 path is bitwise identical to host-side float
+    normalization (tests/test_transfer_diet.py).  jit-safe: dtype is
+    static metadata, each transfer mode compiles its own program."""
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return x
+
+
 def make_grid(images: np.ndarray, nrow: Optional[int] = None,
               pad: int = 2, pad_value: int = 255) -> np.ndarray:
     """Tile a [N,H,W,C] uint8 batch into one image array."""

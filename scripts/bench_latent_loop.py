@@ -1,17 +1,17 @@
 #!/usr/bin/env python
-"""REAL latent-training loop wall-clock: steps_per_dispatch K=1 vs K>1.
+"""REAL latent-training loop wall-clock: steps_per_dispatch K / transfer diet.
 
-VERDICT r4 #3: the latent step is ~4 ms of device time while a per-step
-dispatch over the TPU tunnel costs ~25 ms, so the real stage-3 loop is
-dispatch-bound by ~6x -- and the slope-timed bench
-(scripts/bench_stage34.py) deliberately cancels that cost out.  This
-script measures what a USER sees: it drives the actual
-``LatentDiffusionTrainer`` (loader -> chunked prefetch -> jitted
+VERDICT r4 #3 asked what a USER's stage-3 loop does.  Answer (PERF.md
+"The REAL stage-3 loop"): dispatch is FREE (0.1 ms RTT, async-hidden)
+and the loop is bound by host->device batch BYTES over the tunnel, so
+the levers are the step-key filter (automatic) and ``--u8``
+(transfer_uint8), not steps_per_dispatch.  This script drives the
+actual ``LatentDiffusionTrainer`` (loader -> prefetch -> jitted
 scan -> metrics) at the shipped celeba64_latent.yml geometry (flagship
 frozen encoder, MLPSkipNet 2048x10, batch 128) over synthetic data, and
 times ``train()`` wall seconds per step for each K.
 
-    python scripts/bench_latent_loop.py --ks 1,8,32 --steps 96
+    python scripts/bench_latent_loop.py --ks 1,8 --steps 192 --preload [--u8]
 
 Reference counterpart being beaten: one host-driven step per dispatch,
 /root/reference/trainer/train_latent_diffusion.py:95-130.
@@ -68,11 +68,13 @@ def build_artifacts(root: str):
                      "std": (0.5 + rs.rand(512)).astype(np.float32)})
 
 
-def latent_cfg(root: str, k: int, batch: int, preload: bool = False):
+def latent_cfg(root: str, k: int, batch: int, preload: bool = False,
+               u8: bool = False):
     return {
         "train_dataset_config": {
             "name": "SYNTHETIC", "image_size": 64, "image_channel": 3,
-            "length": 4 * batch, "latent_dim": 512, "preload": preload},
+            "length": 4 * batch, "latent_dim": 512, "preload": preload,
+            "transfer_uint8": u8},
         "eval_dataset_config": {},
         "diffusion_config": {"timesteps": 1000, "betas_type": "linear"},
         "trained_ddpm_config": {"denoise_fn_config": DDPM_MODEL},
@@ -111,9 +113,11 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--preload", action="store_true",
                    help="pre-generate the synthetic items so the loader "
-                        "is ~free (emulates a real >100-vCPU TPU host; "
-                        "without it this 1-vCPU VM is loader-bound at "
-                        "~2 steps/s and K is irrelevant)")
+                        "is ~free (emulates a real >100-vCPU TPU host)")
+    p.add_argument("--u8", action="store_true",
+                   help="transfer_uint8 batches (with the automatic step-"
+                        "key filter this moves 1.57 MB/step instead of "
+                        "8.4 MB -- the transfer-bound loop's lever)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -135,7 +139,8 @@ def main():
             run = os.path.join(work, f"run_k{k}")
             tr = LatentDiffusionTrainer(config=latent_cfg(work, k,
                                                           args.batch,
-                                                          args.preload),
+                                                          args.preload,
+                                                          args.u8),
                                         run_path=run)
             warm = 2 * k
             # save_on_exit=False: train() normally checkpoints on exit,
@@ -161,6 +166,7 @@ def main():
                                   if base else None)
         print(json.dumps({"what": "real_latent_loop_wall",
                           "preload": bool(args.preload),
+                          "transfer_uint8": bool(args.u8),
                           "batch": args.batch,
                           "device": str(jax.devices()[0]),
                           **results}))
