@@ -12,9 +12,13 @@ a single end-of-run print sat behind a 25-40 min cold compile):
     goes to ``--detail_out`` (default records/bench_detail_last.json) --
     it no longer rides the stdout line, which must fit a 2000-char tail;
   * SIGTERM/SIGINT print the partial result before dying (``timeout``
-    sends SIGTERM; best-effort -- a handler cannot run while XLA holds
-    the interpreter in a C++ compile, which is exactly why the per-section
-    emission above is the primary mechanism);
+    sends SIGTERM).  A Python signal handler alone is NOT enough: while
+    the main thread is blocked inside a native XLA/PJRT call (tunnel
+    compile, or a hung device execute) CPython defers handlers
+    indefinitely -- so a ``signal.set_wakeup_fd`` watchdog THREAD emits
+    the partial line and hard-exits, and the same thread enforces
+    ``budget_s + 600`` as a hard deadline for hangs with no external
+    signal.  The partial line names the stuck section (``in_progress``);
   * ``--budget_s`` (env BENCH_BUDGET_S, default 1800) skips remaining
     sections once the wall-clock budget is spent, marking them
     ``skipped: budget``, so the FINAL line still prints before any driver
@@ -55,8 +59,10 @@ profile-backed roofline analysis.
 import argparse
 import json
 import os
+import select
 import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -96,6 +102,8 @@ class Emitter:
         self.t0 = time.perf_counter()
         self.budget_s = budget_s
         self._finalized = False
+        self.current = None      # section running right now (hang forensics)
+        self._emit_lock = threading.Lock()
 
     def elapsed(self) -> float:
         return time.perf_counter() - self.t0
@@ -108,52 +116,108 @@ class Emitter:
         if self.over_budget():
             self.skipped[name] = "budget"
             return False
+        self.current = name
         return True
 
     def fail(self, name: str, err: BaseException):
         self.skipped[name] = f"error: {type(err).__name__}: {err}"[:160]
+        if self.current == name:
+            self.current = None
         print(f"[bench] section {name} failed: {err!r}", file=sys.stderr)
 
     def emit(self, final: bool = False):
-        line = dict(self.compact)
-        line["done"] = self.done
-        if self.skipped:
-            line["skipped"] = self.skipped
-        line["partial"] = not final
-        line["elapsed_s"] = round(self.elapsed(), 1)
-        line["detail"] = self.detail_path
-        self.detail.update(line)
-        try:
-            d = os.path.dirname(self.detail_path)
-            if d:
-                os.makedirs(d, exist_ok=True)
-            tmp = self.detail_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(self.detail, f, indent=1)
-            os.replace(tmp, self.detail_path)
-        except OSError as e:
-            print(f"[bench] detail write failed: {e}", file=sys.stderr)
-        print(json.dumps(line), flush=True)
+        with self._emit_lock:
+            line = dict(self.compact)
+            line["done"] = self.done
+            if self.skipped:
+                line["skipped"] = self.skipped
+            if self.current and self.current not in self.done:
+                # names the section that was RUNNING when this line printed
+                # -- on a partial line after a signal/deadline, this is the
+                # hang/timeout culprit (e.g. a dead device tunnel)
+                line["in_progress"] = self.current
+            line["partial"] = not final
+            line["elapsed_s"] = round(self.elapsed(), 1)
+            line["detail"] = self.detail_path
+            self.detail.update(line)
+            try:
+                d = os.path.dirname(self.detail_path)
+                if d:
+                    os.makedirs(d, exist_ok=True)
+                tmp = self.detail_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self.detail, f, indent=1)
+                os.replace(tmp, self.detail_path)
+            except OSError as e:
+                print(f"[bench] detail write failed: {e}", file=sys.stderr)
+            print(json.dumps(line), flush=True)
 
     def finish(self, name: str):
         self.done.append(name)
+        if self.current == name:
+            self.current = None
         self.emit()
+
+    def _die_with_partial(self, why: str):
+        if self._finalized:
+            os._exit(1)
+        self._finalized = True
+        self.skipped["_signal"] = why
+        try:
+            self.emit(final=False)
+        finally:
+            os._exit(1)
 
     def install_signal_handlers(self):
         def handler(signum, frame):
-            if self._finalized:
-                os._exit(1)
-            self._finalized = True
-            self.skipped["_signal"] = signal.Signals(signum).name
-            try:
-                self.emit(final=False)
-            finally:
-                os._exit(1)
+            self._die_with_partial(signal.Signals(signum).name)
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 signal.signal(sig, handler)
             except (ValueError, OSError):
                 pass
+        # The handler above only runs when the main thread executes Python
+        # bytecode -- while it is blocked inside a native XLA/PJRT call (a
+        # tunnel compile or a HUNG device execute, the exact BENCH_r04
+        # failure mode) CPython defers it indefinitely.  Two fd-level
+        # backstops that need no main-thread cooperation:
+        #   * signal.set_wakeup_fd writes the signum byte the instant the
+        #     signal is DELIVERED; a daemon thread selects on the pipe,
+        #     prints the cumulative partial line, and hard-exits;
+        #   * the same thread enforces budget_s + grace as a hard deadline,
+        #     so a hang with no external signal still yields an artifact.
+        try:
+            rfd, wfd = os.pipe()
+            os.set_blocking(wfd, False)
+            signal.set_wakeup_fd(wfd, warn_on_full_buffer=False)
+        except (ValueError, OSError, AttributeError):
+            return
+
+        def watch():
+            # grace covers one legitimately-long in-flight section (a cold
+            # tunnel compile is 5-10 min) before the hard stop
+            deadline = self.budget_s + 600.0 if self.budget_s else None
+            while True:
+                timeout = None
+                if deadline is not None:
+                    timeout = deadline - self.elapsed()
+                    if timeout <= 0:
+                        self._die_with_partial("deadline: budget_s + 600")
+                try:
+                    ready, _, _ = select.select([rfd], [], [], timeout)
+                except OSError:
+                    return
+                if not ready:
+                    continue
+                try:
+                    data = os.read(rfd, 64)
+                except OSError:
+                    return
+                if any(b in (signal.SIGTERM, signal.SIGINT) for b in data):
+                    self._die_with_partial("SIGTERM/SIGINT (fd watchdog)")
+
+        threading.Thread(target=watch, daemon=True, name="emit-watchdog")\
+            .start()
 
 
 def main():
@@ -281,9 +345,28 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     steps = 10 if args.quick else args.ddim_steps
+
+    # --- section: device canary -- the FIRST device round-trip of the run
+    # (tiny matmul, sub-second compile even over the tunnel).  Purpose is
+    # forensics, not perf: the very first emitted line proves the device
+    # executes, and if the tunnel is hung (observed in-env: execute RPC
+    # never answers while compile RPC works) the watchdog's partial line
+    # says in_progress=device_canary instead of an empty artifact. --------
+    device = str(jax.devices()[0])
+    if em.section("device_canary"):
+        try:
+            t0 = time.perf_counter()
+            a = jnp.ones((256, 256), jnp.float32)
+            jax.block_until_ready(a @ a)
+            em.compact["canary_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
+            em.compact["device"] = device
+            em.finish("device_canary")
+        except Exception as e:
+            em.fail("device_canary", e)
+
     gd = GaussianDiffusion({"timesteps": 1000, "betas_type": "linear"})
     dds = gd.ddim_schedule(f"ddim{steps}")
-    device = str(jax.devices()[0])
     peak = chip_peak_tflops(device) if args.dtype == "bfloat16" else None
 
     def build(geometry, latent_dim, size, batch):
