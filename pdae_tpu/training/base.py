@@ -251,6 +251,10 @@ class BaseTrainer:
             batch_size=self.micro_batch * self.num_iterations,
             shuffle=True, seed=self.seed,
             num_workers=int(dl.get("num_workers", 4)))
+        # device-resident corpus: HBM-resident arrays + on-device index
+        # sampling, zero per-step host->device transfer (training/resident.py)
+        self.device_resident = bool(
+            self.config["train_dataset_config"].get("device_resident", False))
 
     def _step_batch_keys(self):
         """Batch keys the jitted train step consumes (None = all).  The
@@ -364,6 +368,65 @@ class BaseTrainer:
             def body(s, b):
                 return inner(s, *extras, b)
             return jax.lax.scan(body, state, batches)
+
+        return multi
+
+    # -- device-resident data ---------------------------------------------- #
+
+    def _resident_device_data(self):
+        """The step-key corpus as HBM-resident (replicated) device arrays,
+        materialized once per trainer.  Replication is deliberate: the
+        per-chip gather then needs no collective, and the corpora this
+        mode targets are small next to HBM (module docstring,
+        training/resident.py)."""
+        if getattr(self, "_resident_cache", None) is None:
+            from .resident import materialize_step_arrays
+            host = materialize_step_arrays(self.train_dataset,
+                                           self._step_batch_keys())
+            if is_primary():
+                mb = sum(a.nbytes for a in host.values()) / 2 ** 20
+                print(f"device-resident corpus: "
+                      f"{len(self.train_dataset)} items, "
+                      f"{mb:.1f} MB/chip (replicated)", flush=True)
+            if jax.process_count() > 1:
+                from jax import make_array_from_process_local_data
+                self._resident_cache = jax.tree_util.tree_map(
+                    lambda x: make_array_from_process_local_data(
+                        self.replicated, x), host)
+            else:
+                self._resident_cache = jax.device_put(host, self.replicated)
+        return self._resident_cache
+
+    def _make_resident_multi_step(self, k: int):
+        """K train steps as one XLA program over the device-resident
+        corpus: each scan iteration draws its indices from (seed,
+        state.step) and gathers on device -- the host contributes nothing
+        but the dispatch.  The index stream is a pure function of the step
+        counter, so resume is bitwise for any k and any checkpoint step."""
+        from functools import partial as _partial
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh_data_axes
+        from .resident import DATA_STREAM_TAG, sample_batch
+
+        inner = self._train_step
+        b = self.micro_batch * self.num_iterations
+        n = len(self.train_dataset)
+        aug = bool(getattr(self.train_dataset, "augmentation", False))
+        data_key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                      DATA_STREAM_TAG)
+        idx_sharding = NamedSharding(self.mesh,
+                                     P(mesh_data_axes(self.mesh)))
+
+        @_partial(jax.jit, donate_argnums=0)
+        def multi(state, extras, data):
+            def body(s, _):
+                key = jax.random.fold_in(data_key, s.step)
+                batch = sample_batch(data, key, b, n, flip=aug,
+                                     index_sharding=idx_sharding)
+                return inner(s, *extras, batch)
+            return jax.lax.scan(body, state, None, length=k)
 
         return multi
 
@@ -635,6 +698,7 @@ class BaseTrainer:
         # steps_per_dispatch > 1: scan K steps inside one XLA program
         # (boundary cadences must align with chunk ends)
         k = int(rc.get("steps_per_dispatch", 1))
+        resident = self.device_resident
         if k > 1:
             for name, val in (("display_steps", display),
                               ("evaluate_every_steps", eval_every),
@@ -644,12 +708,21 @@ class BaseTrainer:
                     raise ValueError(
                         f"runner_config.{name}={val} must be a multiple of "
                         f"steps_per_dispatch={k}")
-            multi_step = self._make_multi_step()
+            if not resident:
+                multi_step = self._make_multi_step()
+        if k > 1 or resident:
             extras = self._step_extra_args()
+        if resident:
+            # corpus on device once; the loop dispatches index-sampling
+            # K-step programs and never touches host data again
+            rdata = self._resident_device_data()
+            rfns: Dict[int, Any] = {}
+            rchunks = self._chunk_schedule(self.start_step, k, max_steps)
 
         meters = Meters()
         losses = collections.defaultdict(list)
-        it = (self._chunked_batch_iterator(self.start_step, k, max_steps)
+        it = (None if resident
+              else self._chunked_batch_iterator(self.start_step, k, max_steps)
               if k > 1 else self._batch_iterator(self.start_step))
         step = self.start_step
         last_saved = step
@@ -684,14 +757,24 @@ class BaseTrainer:
         try:
             while (max_steps is None or step < max_steps) and not stop["flag"]:
                 t0 = time.perf_counter()
-                batch = next(it)
-                t1 = time.perf_counter()
                 # step calls run under the mesh context: model-side
                 # sharding hints (parallel.constrain_batch at the encoder
                 # flatten) see the ambient mesh at trace time.  Scoped to
                 # the step only -- eval/save do host-local jits that must
                 # NOT trace under the global mesh in multi-process runs.
-                if k > 1:
+                if resident:
+                    c = next(rchunks)
+                    fn = rfns.get(c)
+                    if fn is None:
+                        fn = rfns[c] = self._make_resident_multi_step(c)
+                    t1 = time.perf_counter()
+                    step += c
+                    window_steps += c
+                    with self.mesh:
+                        self.state, metrics = fn(self.state, extras, rdata)
+                elif k > 1:
+                    batch = next(it)
+                    t1 = time.perf_counter()
                     # leading (chunk) dim is static array metadata, no sync
                     c = jax.tree_util.tree_leaves(batch)[0].shape[0]
                     step += c
@@ -700,6 +783,8 @@ class BaseTrainer:
                         self.state, metrics = multi_step(self.state, extras,
                                                          batch)
                 else:
+                    batch = next(it)
+                    t1 = time.perf_counter()
                     step += 1
                     window_steps += 1
                     with self.mesh:

@@ -1,0 +1,92 @@
+"""Device-resident training data: the whole corpus lives in HBM and each
+train step gathers its minibatch ON DEVICE from indices drawn inside the
+jitted program.
+
+This removes the per-step host->device batch transfer entirely -- the wall
+the real stage-3/4 loops hit on this host (PERF.md "The REAL stage-3
+loop": 8.2 steps/s transfer-bound vs 233 steps/s device-resident; the
+reference's counterpart is the host-driven DataLoader loop at
+``/root/reference/trainer/train_latent_diffusion.py:95-130``, which pays
+that transfer every step by construction).  The corpora this targets fit
+HBM with room to spare: CelebA64 is 138k x 64x64x3 uint8 = 1.6 GB; the
+stage-4 CelebA-HQ set is smaller still.
+
+Semantics: minibatch indices are drawn UNIFORMLY WITH REPLACEMENT per
+step, keyed only by (seed, optimizer step) -- not the host loader's
+per-epoch permutation without replacement.  The two are statistically
+interchangeable for SGD at these corpus sizes, but streams are not
+bitwise comparable across the modes; WITHIN the mode the stream is a pure
+function of the step counter, so bitwise-deterministic resume holds for
+any ``steps_per_dispatch`` and any checkpoint step, and K=1 vs K=k
+trajectories are IDENTICAL (stronger than the host path, whose K-chunking
+only preserves the stream, not the program).  Opt in per dataset with
+``train_dataset_config.device_resident: true``.
+
+Random horizontal flip (``augmentation: true`` datasets) moves on device
+too: materialization fetches the un-flipped items (item rng ``None``) and
+the step flips each gathered row by a per-(seed, step, row) coin --
+flipping raw pixels commutes with the [-1,1] normalize, so numerics match
+the host loader's PIL-side flip exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# fold_in tag separating the data-index stream from every model/noise
+# stream (trainers key those off process_key/step_key)
+DATA_STREAM_TAG = 0xD47A
+
+
+def materialize_step_arrays(dataset, keys: Optional[tuple],
+                            chunk: int = 1024) -> dict:
+    """One pass over ``dataset`` in index order -> stacked numpy arrays of
+    the step-consumed batch keys (collated exactly like the host loader,
+    so dtypes -- including ``transfer_uint8`` -- match the transfer path).
+    Item rng is None: augmentation is deferred to the device (see module
+    docstring)."""
+    collate = getattr(type(dataset), "collate_fn")
+    n = len(dataset)
+    if n == 0:
+        raise ValueError("device_resident requires a non-empty dataset")
+    parts = []
+    for s in range(0, n, chunk):
+        items = []
+        for i in range(s, min(s + chunk, n)):
+            try:
+                items.append(dataset.__getitem__(i, None))
+            except TypeError:          # datasets without an rng parameter
+                items.append(dataset[i])
+        b = collate(items)
+        keep = tuple(keys) if keys is not None else tuple(b.keys())
+        parts.append({k: np.asarray(b[k]) for k in keep if k in b})
+    return {k: (np.concatenate([p[k] for p in parts])
+                if len(parts) > 1 else parts[0][k])
+            for k in parts[0]}
+
+
+def sample_batch(data: dict, key, batch_size: int, n: int,
+                 flip: bool = False, index_sharding=None) -> dict:
+    """jit-traceable minibatch gather: draw ``batch_size`` uniform indices
+    from ``key``, take the rows, optionally hflip ``x_0`` per-row.
+
+    ``index_sharding`` (a NamedSharding over the mesh's data axes) pins the
+    index vector so GSPMD partitions the gather: each chip reads only its
+    batch shard's rows from the (replicated) corpus instead of gathering
+    the global batch and slicing."""
+    ikey, fkey = jax.random.split(key)
+    idx = jax.random.randint(ikey, (batch_size,), 0, n)
+    if index_sharding is not None:
+        idx = jax.lax.with_sharding_constraint(idx, index_sharding)
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+    if flip and "x_0" in batch:
+        x = batch["x_0"]
+        assert x.ndim == 4, "device-side hflip expects NHWC x_0"
+        coin = jax.random.bernoulli(fkey, 0.5, (batch_size,))
+        batch["x_0"] = jnp.where(coin[:, None, None, None],
+                                 x[:, :, ::-1, :], x)
+    return batch

@@ -69,12 +69,14 @@ def build_artifacts(root: str):
 
 
 def latent_cfg(root: str, k: int, batch: int, preload: bool = False,
-               u8: bool = False):
+               u8: bool = False, resident: bool = False,
+               corpus: int = 0):
     return {
         "train_dataset_config": {
             "name": "SYNTHETIC", "image_size": 64, "image_channel": 3,
-            "length": 4 * batch, "latent_dim": 512, "preload": preload,
-            "transfer_uint8": u8},
+            "length": corpus or 4 * batch, "latent_dim": 512,
+            "preload": preload, "transfer_uint8": u8,
+            "device_resident": resident},
         "eval_dataset_config": {},
         "diffusion_config": {"timesteps": 1000, "betas_type": "linear"},
         "trained_ddpm_config": {"denoise_fn_config": DDPM_MODEL},
@@ -118,6 +120,14 @@ def main():
                    help="transfer_uint8 batches (with the automatic step-"
                         "key filter this moves 1.57 MB/step instead of "
                         "8.4 MB -- the transfer-bound loop's lever)")
+    p.add_argument("--resident", action="store_true",
+                   help="device_resident corpus: zero per-step transfer, "
+                        "on-device index sampling (training/resident.py). "
+                        "Per-step cost is corpus-size-independent (the "
+                        "gather reads B rows either way); --corpus only "
+                        "changes HBM footprint + one-time materialize")
+    p.add_argument("--corpus", type=int, default=0,
+                   help="dataset length override (default 4*batch)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -140,7 +150,9 @@ def main():
             tr = LatentDiffusionTrainer(config=latent_cfg(work, k,
                                                           args.batch,
                                                           args.preload,
-                                                          args.u8),
+                                                          args.u8,
+                                                          args.resident,
+                                                          args.corpus),
                                         run_path=run)
             warm = 2 * k
             # save_on_exit=False: train() normally checkpoints on exit,
@@ -167,6 +179,8 @@ def main():
         print(json.dumps({"what": "real_latent_loop_wall",
                           "preload": bool(args.preload),
                           "transfer_uint8": bool(args.u8),
+                          "device_resident": bool(args.resident),
+                          "corpus": args.corpus or 4 * args.batch,
                           "batch": args.batch,
                           "device": str(jax.devices()[0]),
                           **results}))

@@ -66,12 +66,17 @@ def test_config_values_match_reference(name):
             continue
         assert section in ours, (name, section)
         assert _norm(ours[section]) == _norm(ref[section]), (name, section)
-    # dataset sections: compare everything except data paths
+    # dataset sections: compare everything except data paths.  Our
+    # TPU-native dataset extensions (no reference counterpart) are
+    # allowlisted explicitly -- any OTHER added key still fails, and
+    # every reference key must match exactly.
+    ours_only = {"transfer_uint8", "device_resident", "preload",
+                 "fast_decode"}
     for section in ("train_dataset_config", "eval_dataset_config"):
         if section not in ref:
             continue
         o = {k: v for k, v in (ours.get(section) or {}).items()
-             if "path" not in k}
+             if "path" not in k and k not in ours_only}
         r = {k: v for k, v in (ref.get(section) or {}).items()
              if "path" not in k}
         assert _norm(o) == _norm(r), (name, section)
