@@ -712,19 +712,25 @@ class BaseTrainer:
                 multi_step = self._make_multi_step()
         if k > 1 or resident:
             extras = self._step_extra_args()
+        # the loop continues from the LIVE optimizer step, not the
+        # resume-time snapshot: a second in-process train() call picks up
+        # where the first stopped (same data fast-forward as a checkpoint
+        # resume) instead of silently replaying its steps and batches.
+        # One host sync per train() call.
+        loop_start = int(self.state.step)
         if resident:
             # corpus on device once; the loop dispatches index-sampling
             # K-step programs and never touches host data again
             rdata = self._resident_device_data()
             rfns: Dict[int, Any] = {}
-            rchunks = self._chunk_schedule(self.start_step, k, max_steps)
+            rchunks = self._chunk_schedule(loop_start, k, max_steps)
 
         meters = Meters()
         losses = collections.defaultdict(list)
         it = (None if resident
-              else self._chunked_batch_iterator(self.start_step, k, max_steps)
-              if k > 1 else self._batch_iterator(self.start_step))
-        step = self.start_step
+              else self._chunked_batch_iterator(loop_start, k, max_steps)
+              if k > 1 else self._batch_iterator(loop_start))
+        step = loop_start
         last_saved = step
         if self.profile_dir and is_primary():
             jax.profiler.start_trace(self.profile_dir)

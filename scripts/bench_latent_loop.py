@@ -161,17 +161,24 @@ def main():
             # ~8x and produced a bogus "loader-bound" verdict
             # (records/latent_loop_r05_loaderbound.json, superseded).
             tr.train(max_steps=warm, save_on_exit=False)  # compile+warm
+            jax.block_until_ready(tr.state.params)
             n = (args.steps // k) * k or k
+            # count steps from the LIVE counter and drain the async
+            # dispatch queue inside the window -- an earlier protocol
+            # trusted max_steps segmentation and left the tail in flight
+            s0 = int(tr.state.step)
             t0 = time.perf_counter()
-            tr.train(max_steps=warm + n, save_on_exit=False)
+            tr.train(max_steps=s0 + n, save_on_exit=False)
+            jax.block_until_ready(tr.state.params)
             dt = time.perf_counter() - t0
+            n_act = int(tr.state.step) - s0
             results[f"k{k}"] = {
-                "steps_per_sec": round(n / dt, 2),
-                "ms_per_step": round(1e3 * dt / n, 3),
-                "timed_steps": n,
+                "steps_per_sec": round(n_act / dt, 2),
+                "ms_per_step": round(1e3 * dt / n_act, 3),
+                "timed_steps": n_act,
             }
-            print(f"[k={k}: {n} steps in {dt:.2f}s = {n/dt:.1f} steps/s]",
-                  file=sys.stderr)
+            print(f"[k={k}: {n_act} steps in {dt:.2f}s = "
+                  f"{n_act/dt:.1f} steps/s]", file=sys.stderr)
         base = results.get("k1", {}).get("steps_per_sec")
         for k, r in results.items():
             r["speedup_vs_k1"] = (round(r["steps_per_sec"] / base, 2)

@@ -375,3 +375,27 @@ def test_train_cli_set_overrides(tmp_path, capsys):
     assert is_sharded_checkpoint(latest)
     saved = load_yaml(os.path.join(run, "config.yml"))
     assert saved["runner_config"]["param_sharding"] == "fsdp"
+
+
+def test_train_continues_across_calls(tmp_path):
+    """A second in-process train() call continues from the LIVE
+    state.step (same data fast-forward as a checkpoint resume) instead
+    of replaying its steps and batches: segmented == straight, bitwise.
+    (Before round 5 the loop counter restarted at start_step, so a
+    second call silently re-ran max_steps fresh steps -- the bug that
+    skewed the segment-timed loop benches.)"""
+    import copy
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["runner_config"]["save_latest_every_steps"] = 10 ** 6
+    seg = RegularDiffusionTrainer(config=cfg, run_path=str(tmp_path / "a"))
+    seg.train(max_steps=3, save_on_exit=False)
+    assert int(seg.state.step) == 3
+    seg.train(max_steps=8, save_on_exit=False)
+    assert int(seg.state.step) == 8
+
+    straight = RegularDiffusionTrainer(config=cfg,
+                                       run_path=str(tmp_path / "b"))
+    straight.train(max_steps=8, save_on_exit=False)
+    for a, b in zip(jax.tree_util.tree_leaves(seg.state.params),
+                    jax.tree_util.tree_leaves(straight.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
