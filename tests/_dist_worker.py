@@ -302,6 +302,34 @@ out["sharded_ckpt_meta"] = int(raw["meta"])
 out["sharded_ckpt_files"] = sorted(
     f for f in os.listdir(ckpt_dir) if f.startswith("shard-"))
 
+# --- device-resident corpus across live processes ------------------------- #
+# every process materializes the IDENTICAL corpus and places it with
+# make_array_from_process_local_data on the replicated sharding (the
+# multi-process branch of BaseTrainer._resident_device_data); indices are
+# drawn from a process-invariant key inside jit, so each rank must see
+# the SAME global batch (sum compared across ranks in the pytest side)
+from pdae_tpu.training.resident import sample_batch
+
+RN = 12
+corpus = {"x_0": np.tile(
+    np.arange(RN, dtype=np.float32)[:, None, None, None], (1, 2, 2, 1))}
+rdata = jax.tree_util.tree_map(
+    lambda x: jax.make_array_from_process_local_data(repl, x), corpus)
+ridx_sh = NamedSharding(mesh, P("data"))
+
+
+@jax.jit
+def resident_draw(data):
+    b = sample_batch(data, jax.random.fold_in(jax.random.PRNGKey(7), 3),
+                     8, RN, index_sharding=ridx_sh)
+    return jnp.sum(b["x_0"]), b["x_0"].shape[0]
+
+
+rsum, rb = resident_draw(rdata)
+out["resident_batch_sum"] = float(rsum)
+out["resident_corpus_replicated"] = bool(
+    rdata["x_0"].sharding.is_fully_replicated)
+
 sync_global_devices("done")
 
 with open(os.path.join(outdir, f"rank{proc_id}.json"), "w") as f:

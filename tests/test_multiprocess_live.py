@@ -219,3 +219,13 @@ def test_fsdp_tp_across_live_processes(results):
         assert results[r]["fsdp_tp_still_2d"] is True
         assert results[r]["fsdp_tp_loss"] == pytest.approx(want_loss,
                                                            rel=1e-5)
+
+
+def test_device_resident_across_live_processes(results):
+    """The multi-process branch of BaseTrainer._resident_device_data:
+    identical per-process corpora become one replicated global array, and
+    the in-jit index draw is process-invariant -- both ranks must compute
+    the same resident batch."""
+    r0, r1 = results[0], results[1]
+    assert r0["resident_corpus_replicated"] and r1["resident_corpus_replicated"]
+    assert r0["resident_batch_sum"] == r1["resident_batch_sum"]
