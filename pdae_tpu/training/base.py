@@ -709,7 +709,12 @@ class BaseTrainer:
                         f"runner_config.{name}={val} must be a multiple of "
                         f"steps_per_dispatch={k}")
             if not resident:
-                multi_step = self._make_multi_step()
+                # memoized on self: a fresh closure per train() call would
+                # be a new jit cache entry, so every repeated/segmented
+                # call would re-trace and re-lower the K-step program
+                if getattr(self, "_multi_step_fn", None) is None:
+                    self._multi_step_fn = self._make_multi_step()
+                multi_step = self._multi_step_fn
         if k > 1 or resident:
             extras = self._step_extra_args()
         # the loop continues from the LIVE optimizer step, not the
@@ -722,7 +727,9 @@ class BaseTrainer:
             # corpus on device once; the loop dispatches index-sampling
             # K-step programs and never touches host data again
             rdata = self._resident_device_data()
-            rfns: Dict[int, Any] = {}
+            if getattr(self, "_resident_fns", None) is None:
+                self._resident_fns: Dict[int, Any] = {}  # memoized, see above
+            rfns = self._resident_fns
             rchunks = self._chunk_schedule(loop_start, k, max_steps)
 
         meters = Meters()
