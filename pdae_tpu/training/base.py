@@ -255,6 +255,16 @@ class BaseTrainer:
         # sampling, zero per-step host->device transfer (training/resident.py)
         self.device_resident = bool(
             self.config["train_dataset_config"].get("device_resident", False))
+        # 'epoch' = the host loader's exact index stream (bitwise-equal
+        # batches, ~25 KB of indices per dispatch); 'uniform' = in-jit
+        # with-replacement draws (zero per-step host bytes)
+        self.resident_sampling = str(
+            self.config["train_dataset_config"].get("resident_sampling",
+                                                    "epoch"))
+        if self.resident_sampling not in ("epoch", "uniform"):
+            raise ValueError(
+                f"train_dataset_config.resident_sampling must be 'epoch' or "
+                f"'uniform', got {self.resident_sampling!r}")
 
     def _step_batch_keys(self):
         """Batch keys the jitted train step consumes (None = all).  The
@@ -399,10 +409,12 @@ class BaseTrainer:
 
     def _make_resident_multi_step(self, k: int):
         """K train steps as one XLA program over the device-resident
-        corpus: each scan iteration draws its indices from (seed,
-        state.step) and gathers on device -- the host contributes nothing
-        but the dispatch.  The index stream is a pure function of the step
-        counter, so resume is bitwise for any k and any checkpoint step."""
+        corpus: each scan iteration gathers its minibatch on device --
+        from the host-loader-equal index rows ('epoch' mode, scanned as
+        xs) or from in-jit uniform draws keyed by (seed, state.step)
+        ('uniform' mode).  Either way the stream is a pure function of
+        the step counter, so resume is deterministic for any k and any
+        checkpoint step."""
         from functools import partial as _partial
 
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -411,7 +423,7 @@ class BaseTrainer:
         from .resident import DATA_STREAM_TAG, sample_batch
 
         inner = self._train_step
-        b = self.micro_batch * self.num_iterations
+        b = (self.micro_batch * self.num_iterations * jax.process_count())
         n = len(self.train_dataset)
         aug = bool(getattr(self.train_dataset, "augmentation", False))
         data_key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
@@ -419,16 +431,61 @@ class BaseTrainer:
         idx_sharding = NamedSharding(self.mesh,
                                      P(mesh_data_axes(self.mesh)))
 
-        @_partial(jax.jit, donate_argnums=0)
-        def multi(state, extras, data):
-            def body(s, _):
-                key = jax.random.fold_in(data_key, s.step)
-                batch = sample_batch(data, key, b, n, flip=aug,
-                                     index_sharding=idx_sharding)
-                return inner(s, *extras, batch)
-            return jax.lax.scan(body, state, None, length=k)
+        if self.resident_sampling == "epoch":
+            @_partial(jax.jit, donate_argnums=0)
+            def multi(state, extras, data, idx):
+                def body(s, ix):
+                    key = jax.random.fold_in(data_key, s.step)
+                    batch = sample_batch(data, key, b, n, flip=aug,
+                                         indices=ix)
+                    return inner(s, *extras, batch)
+                return jax.lax.scan(body, state, idx)
+        else:
+            @_partial(jax.jit, donate_argnums=0)
+            def multi(state, extras, data):
+                def body(s, _):
+                    key = jax.random.fold_in(data_key, s.step)
+                    batch = sample_batch(data, key, b, n, flip=aug,
+                                         index_sharding=idx_sharding)
+                    return inner(s, *extras, batch)
+                return jax.lax.scan(body, state, None, length=k)
 
         return multi
+
+    def _resident_index_chunks(self, start_step: int, k: int,
+                               max_steps: Optional[int]):
+        """'epoch'-mode index stream: device arrays [c, B_global] of the
+        host loader's exact batch indices (training/resident.py::
+        epoch_global_indices), chunked on the same schedule as the host
+        path so resume realignment is identical.  ~25 KB per dispatch --
+        the only bytes the resident loop still ships."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh_data_axes
+        from .resident import epoch_global_indices
+
+        sh = NamedSharding(self.mesh, P(None, mesh_data_axes(self.mesh)))
+        bpe = self.loader.batches_per_epoch()
+        epoch, offset = divmod(start_step, bpe)
+        rank, bloc = self.loader.rank, self.loader.batch_size
+        multihost = jax.process_count() > 1
+
+        def rows():
+            e, off = epoch, offset
+            while True:
+                table = epoch_global_indices(self.loader, e)
+                for i in range(off, len(table)):
+                    yield table[i]
+                off, e = 0, e + 1
+
+        it = rows()
+        for c in self._chunk_schedule(start_step, k, max_steps):
+            chunk = np.stack([next(it) for _ in range(c)])
+            if multihost:
+                local = chunk[:, rank * bloc:(rank + 1) * bloc]
+                yield jax.make_array_from_process_local_data(sh, local)
+            else:
+                yield jax.device_put(chunk, sh)
 
     @staticmethod
     def _chunk_schedule(start_step: int, k: int, max_steps: Optional[int]):
@@ -730,7 +787,10 @@ class BaseTrainer:
             if getattr(self, "_resident_fns", None) is None:
                 self._resident_fns: Dict[int, Any] = {}  # memoized, see above
             rfns = self._resident_fns
-            rchunks = self._chunk_schedule(loop_start, k, max_steps)
+            repoch = self.resident_sampling == "epoch"
+            rsrc = (self._resident_index_chunks(loop_start, k, max_steps)
+                    if repoch
+                    else self._chunk_schedule(loop_start, k, max_steps))
 
         meters = Meters()
         losses = collections.defaultdict(list)
@@ -776,15 +836,20 @@ class BaseTrainer:
                 # the step only -- eval/save do host-local jits that must
                 # NOT trace under the global mesh in multi-process runs.
                 if resident:
-                    c = next(rchunks)
+                    if repoch:
+                        ix = next(rsrc)
+                        c = int(ix.shape[0])
+                    else:
+                        c, ix = next(rsrc), None
                     fn = rfns.get(c)
                     if fn is None:
                         fn = rfns[c] = self._make_resident_multi_step(c)
                     t1 = time.perf_counter()
                     step += c
                     window_steps += c
+                    rargs = (extras, rdata) + ((ix,) if repoch else ())
                     with self.mesh:
-                        self.state, metrics = fn(self.state, extras, rdata)
+                        self.state, metrics = fn(self.state, *rargs)
                 elif k > 1:
                     batch = next(it)
                     t1 = time.perf_counter()

@@ -11,15 +11,24 @@ that transfer every step by construction).  The corpora this targets fit
 HBM with room to spare: CelebA64 is 138k x 64x64x3 uint8 = 1.6 GB; the
 stage-4 CelebA-HQ set is smaller still.
 
-Semantics: minibatch indices are drawn UNIFORMLY WITH REPLACEMENT per
-step, keyed only by (seed, optimizer step) -- not the host loader's
-per-epoch permutation without replacement.  The two are statistically
-interchangeable for SGD at these corpus sizes, but streams are not
-bitwise comparable across the modes; WITHIN the mode the stream is a pure
-function of the step counter, so bitwise-deterministic resume holds for
-any ``steps_per_dispatch`` and any checkpoint step, and K=1 vs K=k
-trajectories are IDENTICAL (stronger than the host path, whose K-chunking
-only preserves the stream, not the program).  Opt in per dataset with
+Sampling (``train_dataset_config.resident_sampling``):
+
+* ``"epoch"`` (default): the index stream IS the host loader's stream --
+  each epoch's rows are rebuilt from ``pipeline.Loader``'s own epoch
+  permutation (same seed formula, same world-multiple padding, same
+  per-rank slicing), so for non-augmented datasets resident training
+  consumes bitwise the batches the host-loader path would, while the
+  25 KB/dispatch index rows are the ONLY per-step host bytes.
+* ``"uniform"``: indices drawn uniformly WITH REPLACEMENT inside the
+  jitted program, keyed only by (seed, optimizer step) -- zero per-step
+  host bytes at all, at the cost of a documented deviation from epoch
+  shuffling (statistically interchangeable for SGD at these sizes).
+
+Both modes are pure functions of the optimizer step, so
+bitwise-deterministic resume holds for any ``steps_per_dispatch`` and
+any checkpoint step, and K=1 vs K=k trajectories are IDENTICAL
+(stronger than the host path, whose K-chunking only preserves the
+stream, not the program).  Opt in per dataset with
 ``train_dataset_config.device_resident: true``.
 
 Random horizontal flip (``augmentation: true`` datasets) moves on device
@@ -69,17 +78,44 @@ def materialize_step_arrays(dataset, keys: Optional[tuple],
             for k in parts[0]}
 
 
+def epoch_global_indices(loader, epoch: int) -> np.ndarray:
+    """One epoch's GLOBAL-batch index table, int32 [nb, world * B_local]:
+    row b is the concatenation over ranks of the host loader's batch b
+    (``pipeline.Loader._epoch_indices`` semantics by construction -- the
+    per-rank tables come from Loader instances with the same seed, so the
+    resident-epoch stream is bitwise the host-loader stream, including
+    the world-multiple padding and per-rank striding)."""
+    from ..data.pipeline import Loader
+    world = loader.world
+    per_rank = [Loader(loader.dataset, loader.batch_size,
+                       shuffle=loader.shuffle, seed=loader.seed,
+                       num_workers=1, process_index=r,
+                       process_count=world)._epoch_indices(epoch)
+                for r in range(world)]
+    nb = loader.batches_per_epoch()
+    b = loader.batch_size
+    return np.stack([
+        np.concatenate([pr[i * b:(i + 1) * b] for pr in per_rank])
+        for i in range(nb)]).astype(np.int32)
+
+
 def sample_batch(data: dict, key, batch_size: int, n: int,
-                 flip: bool = False, index_sharding=None) -> dict:
-    """jit-traceable minibatch gather: draw ``batch_size`` uniform indices
-    from ``key``, take the rows, optionally hflip ``x_0`` per-row.
+                 flip: bool = False, index_sharding=None,
+                 indices=None) -> dict:
+    """jit-traceable minibatch gather: take the rows at ``indices`` (epoch
+    mode) or at ``batch_size`` uniform draws from ``key`` (uniform mode),
+    optionally hflip ``x_0`` per-row.
 
     ``index_sharding`` (a NamedSharding over the mesh's data axes) pins the
     index vector so GSPMD partitions the gather: each chip reads only its
     batch shard's rows from the (replicated) corpus instead of gathering
     the global batch and slicing."""
     ikey, fkey = jax.random.split(key)
-    idx = jax.random.randint(ikey, (batch_size,), 0, n)
+    if indices is None:
+        idx = jax.random.randint(ikey, (batch_size,), 0, n)
+    else:
+        idx = indices
+        batch_size = idx.shape[0]
     if index_sharding is not None:
         idx = jax.lax.with_sharding_constraint(idx, index_sharding)
     batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}

@@ -70,13 +70,13 @@ def build_artifacts(root: str):
 
 def latent_cfg(root: str, k: int, batch: int, preload: bool = False,
                u8: bool = False, resident: bool = False,
-               corpus: int = 0):
+               corpus: int = 0, sampling: str = "epoch"):
     return {
         "train_dataset_config": {
             "name": "SYNTHETIC", "image_size": 64, "image_channel": 3,
             "length": corpus or 4 * batch, "latent_dim": 512,
             "preload": preload, "transfer_uint8": u8,
-            "device_resident": resident},
+            "device_resident": resident, "resident_sampling": sampling},
         "eval_dataset_config": {},
         "diffusion_config": {"timesteps": 1000, "betas_type": "linear"},
         "trained_ddpm_config": {"denoise_fn_config": DDPM_MODEL},
@@ -128,6 +128,11 @@ def main():
                         "changes HBM footprint + one-time materialize")
     p.add_argument("--corpus", type=int, default=0,
                    help="dataset length override (default 4*batch)")
+    p.add_argument("--sampling", default="epoch",
+                   choices=("epoch", "uniform"),
+                   help="resident index stream: 'epoch' = host-loader-"
+                        "equal rows (~25 KB/dispatch), 'uniform' = in-jit "
+                        "draws (zero per-step host bytes)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -152,7 +157,8 @@ def main():
                                                           args.preload,
                                                           args.u8,
                                                           args.resident,
-                                                          args.corpus),
+                                                          args.corpus,
+                                                          args.sampling),
                                         run_path=run)
             warm = 2 * k
             # save_on_exit=False: train() normally checkpoints on exit,
@@ -187,6 +193,7 @@ def main():
                           "preload": bool(args.preload),
                           "transfer_uint8": bool(args.u8),
                           "device_resident": bool(args.resident),
+                          "sampling": args.sampling,
                           "corpus": args.corpus or 4 * args.batch,
                           "batch": args.batch,
                           "device": str(jax.devices()[0]),

@@ -113,7 +113,8 @@ def artifacts(tmp_path_factory):
     mp.undo()
 
 
-def _latent_cfg(root, k=1, mode=None, **extra):
+def _latent_cfg(root, k=1, mode=None, resident=True, sampling=None,
+                **extra):
     from test_stage34_sharded import latent_cfg
     cfg = latent_cfg(root, mode=mode,
                      extra={"steps_per_dispatch": k,
@@ -122,7 +123,9 @@ def _latent_cfg(root, k=1, mode=None, **extra):
                             "save_latest_every_steps": 4 * 10 ** 5,
                             "save_checkpoint_every_steps": 4 * 10 ** 5,
                             **extra})
-    cfg["train_dataset_config"]["device_resident"] = True
+    cfg["train_dataset_config"]["device_resident"] = resident
+    if sampling:
+        cfg["train_dataset_config"]["resident_sampling"] = sampling
     return cfg
 
 
@@ -147,14 +150,53 @@ def test_latent_resident_k1_equals_k4(artifacts, tmp_path):
 
 
 def test_latent_resident_identical_runs_bitwise(artifacts, tmp_path):
-    a = LatentDiffusionTrainer(config=_latent_cfg(artifacts, k=2),
-                               run_path=str(tmp_path / "a"))
-    b = LatentDiffusionTrainer(config=_latent_cfg(artifacts, k=2),
-                               run_path=str(tmp_path / "b"))
+    """uniform mode: zero per-step host bytes, bitwise-deterministic."""
+    a = LatentDiffusionTrainer(
+        config=_latent_cfg(artifacts, k=2, sampling="uniform"),
+        run_path=str(tmp_path / "a"))
+    b = LatentDiffusionTrainer(
+        config=_latent_cfg(artifacts, k=2, sampling="uniform"),
+        run_path=str(tmp_path / "b"))
     a.train(max_steps=4)
     b.train(max_steps=4)
     for x, y in zip(_leaves(a.state.params), _leaves(b.state.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# -- epoch mode: the host loader's exact stream ------------------------------ #
+
+def test_epoch_indices_match_host_loader():
+    """epoch_global_indices must reproduce the host loader's batches
+    bitwise -- compared against the loader's own collated 'idx' keys."""
+    from pdae_tpu.data import Loader, build_dataset
+    from pdae_tpu.training.resident import epoch_global_indices
+    ds = build_dataset({"name": "SYNTHETIC", "image_size": 16,
+                        "image_channel": 1, "length": 37})
+    loader = Loader(ds, batch_size=8, shuffle=True, seed=5, num_workers=1)
+    for epoch in (0, 1, 3):
+        table = epoch_global_indices(loader, epoch)
+        assert table.shape == (loader.batches_per_epoch(), 8)
+        for row, batch in zip(table, loader.epoch(epoch)):
+            np.testing.assert_array_equal(row, batch["idx"])
+
+
+def test_epoch_resident_matches_host_loader_training(artifacts, tmp_path):
+    """THE equivalence: resident 'epoch' training consumes bitwise the
+    batches the host-loader path would (non-augmented float corpus), so
+    the two loops produce the same loss stream and the same params up to
+    program-level reduction order."""
+    host = LatentDiffusionTrainer(
+        config=_latent_cfg(artifacts, k=1, resident=False),
+        run_path=str(tmp_path / "host"))
+    res = LatentDiffusionTrainer(
+        config=_latent_cfg(artifacts, k=1, sampling="epoch"),
+        run_path=str(tmp_path / "res"))
+    host.train(max_steps=8)
+    res.train(max_steps=8)
+    np.testing.assert_allclose(_losses(str(tmp_path / "host")),
+                               _losses(str(tmp_path / "res")), rtol=1e-6)
+    for a, b in zip(_leaves(host.state.params), _leaves(res.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 # -- (d) misaligned resume --------------------------------------------------- #
