@@ -266,3 +266,22 @@ def test_latent_resident_fsdp_loss_equality(artifacts, tmp_path):
     fsdp.train(max_steps=4)
     np.testing.assert_allclose(_losses(str(tmp_path / "rep")),
                                _losses(str(tmp_path / "fsdp")), rtol=1e-4)
+
+
+def test_resident_cadences_eval_save_resume(artifacts, tmp_path):
+    """Resident loop with LIVE eval/save cadences: the index-chunk stream
+    pauses across boundary work (eval grids, checkpoint writes) and a
+    checkpoint resume realigns mid-epoch."""
+    run = str(tmp_path / "r")
+    cfg = _latent_cfg(artifacts, k=2, display_steps=4,
+                      evaluate_every_steps=4,
+                      save_latest_every_steps=4)
+    tr = LatentDiffusionTrainer(config=cfg, run_path=run)
+    tr.train(max_steps=6)
+    assert os.path.exists(os.path.join(run, "checkpoints", "latest.ckpt"))
+    assert any(f.endswith(".png")
+               for f in os.listdir(os.path.join(run, "samples")))
+    tr2 = LatentDiffusionTrainer(config=cfg, run_path=run, resume="latest")
+    assert tr2.start_step == 6
+    tr2.train(max_steps=10)
+    assert int(tr2.state.step) == 10
