@@ -753,15 +753,18 @@ def main():
             wk = _tf.mkdtemp(prefix="bench_resident_")
             try:
                 build_artifacts(wk)
+                # K=50 epoch sampling = the shipped celeba64_latent.yml
+                # dispatch configuration (the host loader's exact index
+                # stream, replayed from HBM)
                 tr = LatentDiffusionTrainer(
-                    config=latent_cfg(wk, 64, args.stage34_batch, u8=True,
+                    config=latent_cfg(wk, 50, args.stage34_batch, u8=True,
                                       resident=True, corpus=2048),
                     run_path=os.path.join(wk, "run"))
-                tr.train(max_steps=128, save_on_exit=False)   # compile+warm
+                tr.train(max_steps=100, save_on_exit=False)   # compile+warm
                 jax.block_until_ready(tr.state.params)
                 s0 = int(tr.state.step)
                 t0 = time.perf_counter()
-                tr.train(max_steps=s0 + 192, save_on_exit=False)
+                tr.train(max_steps=s0 + 200, save_on_exit=False)
                 jax.block_until_ready(tr.state.params)
                 dt = time.perf_counter() - t0
                 n_act = int(tr.state.step) - s0
@@ -769,7 +772,8 @@ def main():
                 em.detail["latent_loop_resident"] = {
                     "steps_per_sec": round(n_act / dt, 2),
                     "ms_per_step": round(1e3 * dt / n_act, 3),
-                    "k": 64, "batch": args.stage34_batch,
+                    "k": 50, "sampling": "epoch",
+                    "batch": args.stage34_batch,
                     "device_resident": True, "transfer_uint8": True,
                     "timed_steps": n_act}
             finally:
