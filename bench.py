@@ -739,49 +739,6 @@ def main():
         except Exception as e:
             em.fail("stage34", e)
 
-    # --- section: the REAL (end-to-end) stage-3 loop with device-resident
-    # data -- drives the actual LatentDiffusionTrainer.train() (not
-    # slope-timed): corpus in HBM, on-device index sampling, K=64 steps
-    # per dispatch (PERF.md "Device-resident data"; reference counterpart:
-    # one host DataLoader round-trip per step) -------------------------------
-    if not args.skip_stage34 and em.section("latent_loop_resident"):
-        try:
-            import shutil as _sh
-            import tempfile as _tf
-            from bench_latent_loop import build_artifacts, latent_cfg
-            from pdae_tpu.training import LatentDiffusionTrainer
-            wk = _tf.mkdtemp(prefix="bench_resident_")
-            try:
-                build_artifacts(wk)
-                # K=50 epoch sampling = the shipped celeba64_latent.yml
-                # dispatch configuration (the host loader's exact index
-                # stream, replayed from HBM)
-                tr = LatentDiffusionTrainer(
-                    config=latent_cfg(wk, 50, args.stage34_batch, u8=True,
-                                      resident=True, corpus=2048),
-                    run_path=os.path.join(wk, "run"))
-                tr.train(max_steps=100, save_on_exit=False)   # compile+warm
-                jax.block_until_ready(tr.state.params)
-                s0 = int(tr.state.step)
-                t0 = time.perf_counter()
-                tr.train(max_steps=s0 + 200, save_on_exit=False)
-                jax.block_until_ready(tr.state.params)
-                dt = time.perf_counter() - t0
-                n_act = int(tr.state.step) - s0
-                em.compact["latent_loop_steps_s"] = round(n_act / dt, 1)
-                em.detail["latent_loop_resident"] = {
-                    "steps_per_sec": round(n_act / dt, 2),
-                    "ms_per_step": round(1e3 * dt / n_act, 3),
-                    "k": 50, "sampling": "epoch",
-                    "batch": args.stage34_batch,
-                    "device_resident": True, "transfer_uint8": True,
-                    "timed_steps": n_act}
-            finally:
-                _sh.rmtree(wk, ignore_errors=True)
-            em.finish("latent_loop_resident")
-        except Exception as e:
-            em.fail("latent_loop_resident", e)
-
     # --- section: batch-1 DDIM-100 serving latency (the chip is
     # underutilized at b1, so it must be measured, not divided down) ------
     if not args.skip_latency and em.section("latency_b1"):
@@ -877,6 +834,49 @@ def main():
                 em.finish("autoencode")
             except Exception as e:
                 em.fail("autoencode", e)
+
+    # --- section: the REAL (end-to-end) stage-3 loop with device-resident
+    # data -- drives the actual LatentDiffusionTrainer.train() (not
+    # slope-timed): corpus in HBM, on-device index sampling, K=64 steps
+    # per dispatch (PERF.md "Device-resident data"; reference counterpart:
+    # one host DataLoader round-trip per step) -------------------------------
+    if not args.skip_stage34 and em.section("latent_loop_resident"):
+        try:
+            import shutil as _sh
+            import tempfile as _tf
+            from bench_latent_loop import build_artifacts, latent_cfg
+            from pdae_tpu.training import LatentDiffusionTrainer
+            wk = _tf.mkdtemp(prefix="bench_resident_")
+            try:
+                build_artifacts(wk)
+                # K=50 epoch sampling = the shipped celeba64_latent.yml
+                # dispatch configuration (the host loader's exact index
+                # stream, replayed from HBM)
+                tr = LatentDiffusionTrainer(
+                    config=latent_cfg(wk, 50, args.stage34_batch, u8=True,
+                                      resident=True, corpus=2048),
+                    run_path=os.path.join(wk, "run"))
+                tr.train(max_steps=100, save_on_exit=False)   # compile+warm
+                jax.block_until_ready(tr.state.params)
+                s0 = int(tr.state.step)
+                t0 = time.perf_counter()
+                tr.train(max_steps=s0 + 200, save_on_exit=False)
+                jax.block_until_ready(tr.state.params)
+                dt = time.perf_counter() - t0
+                n_act = int(tr.state.step) - s0
+                em.compact["latent_loop_steps_s"] = round(n_act / dt, 1)
+                em.detail["latent_loop_resident"] = {
+                    "steps_per_sec": round(n_act / dt, 2),
+                    "ms_per_step": round(1e3 * dt / n_act, 3),
+                    "k": 50, "sampling": "epoch",
+                    "batch": args.stage34_batch,
+                    "device_resident": True, "transfer_uint8": True,
+                    "timed_steps": n_act}
+            finally:
+                _sh.rmtree(wk, ignore_errors=True)
+            em.finish("latent_loop_resident")
+        except Exception as e:
+            em.fail("latent_loop_resident", e)
 
     if args.trace:
         capture_trace(best64)
