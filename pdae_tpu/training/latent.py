@@ -93,10 +93,36 @@ class LatentDiffusionTrainer(BaseTrainer):
         def dec_apply(dp, x_t, tt, zc):
             return decoder.apply({"params": dp}, x_t, tt, zc)
 
+        # latent_train_source 'precomputed': hoist the frozen encoder out
+        # of the training loop -- the device-resident corpus holds the
+        # raw z (encoded ONCE, training/resident.py::encode_corpus) and
+        # the step trains the MLP alone.  Exactly the reference step with
+        # the loop-invariant forward removed; requires deterministic z
+        # (no augmentation) and a resident corpus.
+        self.latent_source = str(self.runner_config.get(
+            "latent_train_source", "encode"))
+        if self.latent_source not in ("encode", "precomputed"):
+            raise ValueError(
+                f"runner_config.latent_train_source must be 'encode' or "
+                f"'precomputed', got {self.latent_source!r}")
+        if self.latent_source == "precomputed":
+            if not self.device_resident:
+                raise ValueError("latent_train_source 'precomputed' "
+                                 "requires train_dataset_config."
+                                 "device_resident: true")
+            if getattr(self.train_dataset, "augmentation", False):
+                raise ValueError(
+                    "latent_train_source 'precomputed' requires "
+                    "augmentation: false (a flipped image has a "
+                    "different z; keep 'encode' for augmented corpora)")
+
         # the SHARED stage-3 step builder (training/steps.py) -- bench.py
         # measures the same program structure this trainer runs
+        from .resident import IdentityEncoder
+        step_encoder = (IdentityEncoder
+                        if self.latent_source == "precomputed" else encoder)
         base_step = make_latent_train_step(
-            gd, model, encoder, tx, mean, std, ema_decay=ema_decay,
+            gd, model, step_encoder, tx, mean, std, ema_decay=ema_decay,
             ema_every=ema_every, num_iters=num_iters)
 
         @partial(jax.jit, donate_argnums=0)
@@ -122,13 +148,37 @@ class LatentDiffusionTrainer(BaseTrainer):
         self._sample_fn = sample_fn
 
     def train_step(self, state, batch):
-        return self._train_step(state, self.encoder_params, batch)
+        return self._train_step(state, *self._step_extra_args(), batch)
 
     def _step_extra_args(self):
+        # precomputed mode: the step's encoder is the identity, so the
+        # big frozen tree stays out of the dispatch path entirely
+        if self.latent_source == "precomputed":
+            return ({},)
         return (self.encoder_params,)
 
     def _step_batch_keys(self):
         return ("x_0",)
+
+    def _resident_device_data(self):
+        if self.latent_source != "precomputed":
+            return super()._resident_device_data()
+        if getattr(self, "_resident_cache", None) is None:
+            from ..parallel import is_primary
+            from .resident import encode_corpus, materialize_step_arrays
+            host = materialize_step_arrays(self.train_dataset,
+                                           self._step_batch_keys())
+            z = encode_corpus(self.encoder, self.encoder_params,
+                              host["x_0"])
+            if is_primary():
+                print(f"precomputed-z corpus: {z.shape[0]} items, "
+                      f"{z.nbytes / 2 ** 20:.1f} MB/chip (replicated)",
+                      flush=True)
+            # the resident key stays 'x_0' so the shared step wrapper is
+            # unchanged (x0_from_transfer is the identity on float z)
+            self._resident_cache = {
+                "x_0": jax.device_put(z, self.replicated)}
+        return self._resident_cache
 
     def evaluate(self, step: int, latent_ddim_style: str = "ddim100",
                  decoder_ddim_style: str = "ddim100"):

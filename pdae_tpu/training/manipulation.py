@@ -94,10 +94,35 @@ class ManipulationTrainer(BaseTrainer):
         self._enc_apply = enc_apply
         self._dec_apply = dec_apply
 
+        # latent_train_source 'precomputed': the stage-4 classifier
+        # trains over the frozen encoder's z, which is deterministic per
+        # image when augmentation is off -- encode the corpus once and
+        # train the Linear head alone (same contract as the stage-3
+        # option, training/latent.py)
+        self.latent_source = str(self.runner_config.get(
+            "latent_train_source", "encode"))
+        if self.latent_source not in ("encode", "precomputed"):
+            raise ValueError(
+                f"runner_config.latent_train_source must be 'encode' or "
+                f"'precomputed', got {self.latent_source!r}")
+        if self.latent_source == "precomputed":
+            if not self.device_resident:
+                raise ValueError("latent_train_source 'precomputed' "
+                                 "requires train_dataset_config."
+                                 "device_resident: true")
+            if getattr(self.train_dataset, "augmentation", False):
+                raise ValueError(
+                    "latent_train_source 'precomputed' requires "
+                    "augmentation: false (a flipped image has a "
+                    "different z; keep 'encode' for augmented corpora)")
+
         # the SHARED stage-4 step builder (training/steps.py) -- bench.py
         # measures the same program structure this trainer runs
+        from .resident import IdentityEncoder
+        step_encoder = (IdentityEncoder
+                        if self.latent_source == "precomputed" else encoder)
         base_step = make_manipulation_train_step(
-            gd, model, encoder, tx, mean, std, ema_decay=ema_decay,
+            gd, model, step_encoder, tx, mean, std, ema_decay=ema_decay,
             ema_every=ema_every)
 
         @partial(jax.jit, donate_argnums=0)
@@ -129,13 +154,35 @@ class ManipulationTrainer(BaseTrainer):
         self._encode_fn = encode_fn
 
     def train_step(self, state, batch):
-        return self._train_step(state, self.encoder_params, batch)
+        return self._train_step(state, *self._step_extra_args(), batch)
 
     def _step_extra_args(self):
+        if self.latent_source == "precomputed":
+            return ({},)
         return (self.encoder_params,)
 
     def _step_batch_keys(self):
         return ("x_0", "label")
+
+    def _resident_device_data(self):
+        if self.latent_source != "precomputed":
+            return super()._resident_device_data()
+        if getattr(self, "_resident_cache", None) is None:
+            from ..parallel import is_primary
+            from .resident import encode_corpus, materialize_step_arrays
+            host = materialize_step_arrays(self.train_dataset,
+                                           self._step_batch_keys())
+            z = encode_corpus(self.encoder, self.encoder_params,
+                              host["x_0"])
+            if is_primary():
+                print(f"precomputed-z corpus: {z.shape[0]} items, "
+                      f"{z.nbytes / 2 ** 20:.1f} MB/chip (replicated)",
+                      flush=True)
+            self._resident_cache = {
+                "x_0": jax.device_put(z, self.replicated),
+                "label": jax.device_put(jnp.asarray(host["label"]),
+                                        self.replicated)}
+        return self._resident_cache
 
     def evaluate(self, step: int, encode_style: str = "ddim500",
                  decode_style: str = "ddim200", class_id: int = 31,

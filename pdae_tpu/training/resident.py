@@ -99,6 +99,47 @@ def epoch_global_indices(loader, epoch: int) -> np.ndarray:
         for i in range(nb)]).astype(np.int32)
 
 
+class IdentityEncoder:
+    """Stands in for the frozen semantic encoder when the trainer runs on
+    PRECOMPUTED latents (``runner_config.latent_train_source:
+    precomputed``): the gathered resident rows ARE the raw (un-normalized)
+    z, so the stage-3/4 step keeps its exact structure
+    (``gaussian.latent_diffusion_train_one_batch`` /
+    ``manipulation_train_one_batch``) with the encoder forward removed."""
+
+    @staticmethod
+    def apply(_variables, z):
+        return z
+
+
+def encode_corpus(encoder, enc_params, x_host: np.ndarray,
+                  chunk: int = 512):
+    """Encode a materialized image corpus through the frozen encoder in
+    fixed-size device chunks (ONE compiled shape; the ragged tail is
+    padded with repeats then sliced).  Valid whenever the per-image z is
+    deterministic (``augmentation: false`` -- the encoder is GroupNorm-
+    normalized per sample, so z is also batch-composition-independent):
+    encode-once-then-gather is mathematically the reference's
+    encode-every-step (train_latent_diffusion.py:72-93) with the frozen
+    forward hoisted out of the training loop.  Returns the raw z corpus
+    as a device array [N, latent_dim]."""
+    from ..utils.image import x0_from_transfer
+
+    fn = jax.jit(lambda p, xb: encoder.apply({"params": p},
+                                             x0_from_transfer(xb)))
+    n = len(x_host)
+    outs = []
+    for s in range(0, n, chunk):
+        xb = x_host[s:s + chunk]
+        if len(xb) < chunk:
+            pad = chunk - len(xb)
+            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
+            outs.append(fn(enc_params, xb)[:chunk - pad])
+        else:
+            outs.append(fn(enc_params, xb))
+    return jnp.concatenate(outs, axis=0)
+
+
 def sample_batch(data: dict, key, batch_size: int, n: int,
                  flip: bool = False, index_sharding=None,
                  indices=None) -> dict:

@@ -285,3 +285,75 @@ def test_resident_cadences_eval_save_resume(artifacts, tmp_path):
     assert tr2.start_step == 6
     tr2.train(max_steps=10)
     assert int(tr2.state.step) == 10
+
+
+# -- precomputed-z training source (stages 3-4) ------------------------------ #
+
+def test_precomputed_z_matches_encode_mode_latent(artifacts, tmp_path):
+    """latent_train_source 'precomputed': encoding the corpus once and
+    gathering z must train identically to encoding every step (the
+    encoder is per-sample GroupNorm-normalized, so z is deterministic
+    and batch-composition-independent)."""
+    enc = LatentDiffusionTrainer(config=_latent_cfg(artifacts, k=2),
+                                 run_path=str(tmp_path / "enc"))
+    pre = LatentDiffusionTrainer(
+        config=_latent_cfg(artifacts, k=2,
+                           latent_train_source="precomputed"),
+        run_path=str(tmp_path / "pre"))
+    enc.train(max_steps=8)
+    pre.train(max_steps=8)
+    np.testing.assert_allclose(_losses(str(tmp_path / "enc")),
+                               _losses(str(tmp_path / "pre")), rtol=1e-5)
+    for a, b in zip(_leaves(enc.state.params), _leaves(pre.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_precomputed_z_matches_encode_mode_manipulation(artifacts, tmp_path):
+    from test_stage34_sharded import manip_cfg
+
+    def cfg(source):
+        c = manip_cfg(artifacts,
+                      extra={"steps_per_dispatch": 2, "display_steps": 4,
+                             "evaluate_every_steps": 4 * 10 ** 5,
+                             "save_latest_every_steps": 4 * 10 ** 5,
+                             "save_checkpoint_every_steps": 4 * 10 ** 5,
+                             "latent_train_source": source})
+        c["train_dataset_config"]["device_resident"] = True
+        return c
+
+    enc = ManipulationTrainer(config=cfg("encode"),
+                              run_path=str(tmp_path / "enc"))
+    pre = ManipulationTrainer(config=cfg("precomputed"),
+                              run_path=str(tmp_path / "pre"))
+    enc.train(max_steps=8)
+    pre.train(max_steps=8)
+    np.testing.assert_allclose(_losses(str(tmp_path / "enc"), "bce_loss"),
+                               _losses(str(tmp_path / "pre"), "bce_loss"),
+                               rtol=1e-5)
+
+
+def test_precomputed_requires_resident(artifacts, tmp_path):
+    with pytest.raises(ValueError, match="device_resident"):
+        LatentDiffusionTrainer(
+            config=_latent_cfg(artifacts, k=1, resident=False,
+                               latent_train_source="precomputed"),
+            run_path=str(tmp_path / "r"))
+
+
+def test_encode_corpus_ragged_tail():
+    """encode_corpus pads the ragged tail chunk and slices it back --
+    outputs must equal a single-shot encode."""
+    import flax.linen as nn
+    from pdae_tpu.training.resident import encode_corpus
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    m = Tiny()
+    x = np.random.RandomState(0).rand(11, 2, 2, 1).astype(np.float32)
+    p = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    got = np.asarray(encode_corpus(m, p, x, chunk=4))
+    want = np.asarray(m.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
